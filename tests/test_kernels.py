@@ -1,0 +1,164 @@
+"""Kernel tests: estimators must recover simulated ground truth — the
+reference's own Monte-Carlo validation strategy (SURVEY.md §5,
+/root/reference/src/miaplpy/simulation.py)."""
+
+import numpy as np
+import pytest
+
+from miaplpy_spark.kernels import phase_linking as pl
+from miaplpy_spark.kernels import shp
+from miaplpy_spark.kernels.simulation import (
+    simulate_coherence_matrix_exponential,
+    simulate_constant_vel_phase,
+    simulate_neighborhood_stack,
+    wrap_phase,
+)
+
+N_IMG = 40
+VEL = 4.0 / 1000 / (0.056 / (4 * np.pi))  # 4 mm/y at lambda=56mm -> rad/yr
+
+
+@pytest.fixture(scope="module")
+def sim():
+    t, x = simulate_constant_vel_phase(N_IMG, 6)
+    truth = (VEL / 365.0) * t  # rad per day * day
+    C = simulate_coherence_matrix_exponential(
+        t, gamma0=0.6, gammaf=0.1, gamma_fading=0.0,
+        vel_phase=VEL / 365.0, decorr_days=50.0,
+    )
+    Z = simulate_neighborhood_stack(C, neighbor_samples=300, seed=42)
+    return truth, C, Z
+
+
+def _phase_err(vec, truth):
+    # C[i,j] = E[z_i z_j*] carries phase +vel*(t_j - t_i) in the sim
+    # convention, so the recovered series is the NEGATIVE of truth.
+    est = np.angle(vec) - np.angle(vec[0])
+    return wrap_phase(est + (truth - truth[0]))
+
+
+def test_est_corr_matches_direct(sim):
+    _, _, Z = sim
+    corr = pl.est_corr(Z)
+    assert corr.shape == (N_IMG, N_IMG)
+    assert np.allclose(np.abs(np.diagonal(corr)), 1.0, atol=1e-5)
+    # Hermitian
+    assert np.allclose(corr, corr.conj().T, atol=1e-5)
+    # batched variant agrees with scalar
+    corr_b = pl.est_corr_batch(Z[None])[0]
+    assert np.allclose(corr, corr_b, atol=1e-5)
+
+
+def test_evd_recovers_truth(sim):
+    truth, _, Z = sim
+    vec, _, quality = pl.phase_linking_process(Z, 0, "EVD", False)
+    err = _phase_err(vec, truth)
+    assert np.sqrt(np.mean(err**2)) < 0.25  # rad; well under noise floor
+    assert 0.5 < quality <= 1.0
+
+
+def test_emi_recovers_truth(sim):
+    truth, _, Z = sim
+    vec, _, quality = pl.phase_linking_process(Z, 0, "EMI", False)
+    err = _phase_err(vec, truth)
+    assert np.sqrt(np.mean(err**2)) < 0.25
+    assert 0.5 < quality <= 1.0
+
+
+def test_batched_evd_emi_match_scalar(sim):
+    _, _, Z = sim
+    coh = pl.est_corr(Z)
+    batch = np.stack([coh, coh.conj()])  # two members
+    v_b = pl.evd_phase_batch(batch)
+    assert np.allclose(v_b[0], pl.evd_phase(coh), atol=1e-5)
+    status, abscoh = pl.regularize_matrix_batch(np.abs(batch))
+    assert status.tolist() == [0, 0]
+    e_b = pl.emi_phase_batch(batch, abscoh)
+    assert np.allclose(e_b[0], pl.emi_phase(coh, np.abs(coh)), atol=1e-4)
+
+
+def test_regularize_fixes_non_pd():
+    M = np.ones((5, 5), dtype=np.float32)  # rank-1, singular
+    M[np.diag_indices(5)] = 1.0
+    status, N = pl.regularize_matrix(M - 0.5 * np.eye(5, dtype=np.float32))
+    assert status == 0
+    np.linalg.cholesky(N)  # must not raise
+
+
+def test_sequential_plus_datum_matches_full(sim):
+    """Mini-stack cascade + datum connect ~= full-stack estimate (the
+    reference's sequential path, lib/utils.pyx:603-796)."""
+    truth, _, Z = sim
+    ms = 10
+    k = N_IMG // ms
+    vec_seq, squeezed, q = pl.sequential_phase_linking(Z, "sequential_EMI", ms, k)
+    assert squeezed.shape == (k, Z.shape[1])
+    vec_adj = pl.datum_connect(squeezed, vec_seq, ms)
+    err = _phase_err(vec_adj, truth)
+    assert np.sqrt(np.mean(err**2)) < 0.3
+    assert 0.3 < q <= 1.0
+
+
+def test_sequential_last_window_absorbs_remainder(sim):
+    _, _, Z = sim
+    ms = 12  # 40 = 12+12+16: last chunk absorbs remainder
+    k = N_IMG // ms
+    vec, squeezed, _ = pl.sequential_phase_linking(Z, "sequential_EMI", ms, k)
+    assert squeezed.shape[0] == k
+    assert np.all(vec[ms * (k - 1):] != 0)  # remainder rows were filled
+
+
+def test_squeeze_is_unit_scale(sim):
+    _, _, Z = sim
+    vec, sq, _ = pl.phase_linking_process(Z[:10], 0, "EMI", True)
+    assert sq.shape == (Z.shape[1],)
+    assert np.isfinite(sq).all()
+
+
+def test_gam_pta_perfect_fit_is_one():
+    n = 8
+    ph = np.random.default_rng(0).uniform(-np.pi, np.pi, n)
+    vec = np.exp(1j * ph).astype(np.complex64)
+    ph_filt = ph[:, None] - ph[None, :]
+    assert abs(pl.gam_pta(ph_filt, vec) - 1.0) < 1e-5
+    b = pl.gam_pta_batch(ph_filt[None], vec[None])
+    assert abs(b[0] - 1.0) < 1e-4
+
+
+def test_test_ps_branches():
+    # near-rank-1 coherence => PS shortcut fires
+    n = 12
+    ph = np.linspace(0, 1, n)
+    v = np.exp(1j * ph)
+    coh = np.outer(v, v.conj()).astype(np.complex64)
+    amp = np.ones(n, dtype=np.float32)  # zero dispersion
+    quality, vec, amp_disp, l1, l2, top = pl.test_ps(coh, amp)
+    assert quality == 1.0 and top > 95 and amp_disp < 0.42
+    # noisy matrix => EVD branch
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    coh2 = pl.cov2corr((A @ A.conj().T).astype(np.complex64))
+    amp2 = rng.uniform(0.1, 3.0, n).astype(np.float32)
+    q2, *_ = pl.test_ps(coh2, amp2)
+    assert q2 < 1.0
+
+
+def test_mask_diag_band():
+    coh = np.ones((6, 6), dtype=np.complex64)
+    m = pl.mask_diag(coh, 2)
+    assert m[0, 0] == 1 and m[0, 1] == 1 and m[0, 2] == 0
+
+
+def test_ks_lut_and_distance():
+    thr = shp.ks_lut(40, 40, alpha=0.05)
+    assert 0.2 < thr < 0.4
+    rng = np.random.default_rng(7)
+    a = np.sort(rng.normal(0, 1, 40)).astype(np.float32)
+    b = np.sort(rng.normal(0, 1, 40)).astype(np.float32)
+    c = np.sort(rng.normal(5, 1, 40)).astype(np.float32)
+    assert shp.ecdf_distance(a, b) <= thr
+    assert shp.ecdf_distance(a, c) > thr
+    # batch path agrees
+    d = shp.ecdf_distance_batch(a, np.stack([b, c]))
+    assert abs(d[0] - shp.ecdf_distance(a, b)) < 1e-12
+    assert abs(d[1] - shp.ecdf_distance(a, c)) < 1e-12
