@@ -1,0 +1,152 @@
+"""Deterministic, fully-distributed synthesis of the `sequences` table
+(FIXTURES.md F1 / BASELINE.json input_hint).
+
+Everything is derived JVM-side from ``spark.range`` + hash functions —
+no Python UDF, no driver-side data, no external input. The same code
+generates 10^4 rows in a unit test and 10^12 rows on a cluster: cost
+is linear in rows and embarrassingly parallel (the range source splits
+across executors; there is no shuffle).
+
+Schema: doc_id string, slot int, ts timestamp, tokens array<int>,
+n_tok int, source string  (+ bucket int, the partition key).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import SCALES, EngineConfig, ScaleSpec
+
+
+def _u(seed_tag: str, *cols):
+    """Deterministic uniform [0,1) from xxhash64 of cols + tag."""
+    return (
+        F.pmod(F.xxhash64(F.lit(seed_tag), *cols), F.lit(1_000_000))
+        / F.lit(1_000_000.0)
+    )
+
+
+def zipf_thresholds(n: int, alpha: float) -> list[float]:
+    w = [1.0 / (k + 1) ** alpha for k in range(n)]
+    s = sum(w)
+    acc, out = 0.0, []
+    for x in w:
+        acc += x / s
+        out.append(acc)
+    return out
+
+
+def generate_sequences(
+    spark: SparkSession,
+    scale: str | ScaleSpec = "tiny",
+    cfg: EngineConfig = EngineConfig(),
+    with_tokens: bool = True,
+) -> DataFrame:
+    """Build the raw sequences DataFrame for a named scale.
+
+    ``with_tokens=False`` skips materializing token arrays and emits
+    the derived per-row stats directly — used by throughput benches
+    where ingest I/O would otherwise dominate the rollup measurement.
+    """
+    spec = SCALES[scale] if isinstance(scale, str) else scale
+    n_rows = spec.n_docs * spec.n_slots
+    seed = str(cfg.seed)
+
+    df = spark.range(0, n_rows).select(
+        F.format_string("doc%08d", (F.col("id") / spec.n_slots).cast("long")).alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(spec.n_slots)).cast("int").alias("slot"),
+    )
+
+    # ~5% deterministic slot drops -> exercises gap-fill downstream
+    df = df.where(
+        F.pmod(F.xxhash64(F.lit("gap" + seed), "doc_id", "slot"), F.lit(cfg.gap_modulus)) != 0
+    )
+
+    # event-time axis
+    df = df.withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(cfg.epoch0) + F.col("slot") * F.lit(cfg.slot_seconds)),
+    )
+
+    # n_tok: 90% light / 10% heavy (skew the salting must absorb)
+    heavy = _u("heavy" + seed, "doc_id", "slot") < spec.heavy_pct / 100.0
+    light_n = (F.lit(spec.tok_lo)
+               + (_u("ntok" + seed, "doc_id", "slot") * (spec.tok_hi - spec.tok_lo)).cast("int"))
+    heavy_n = (F.lit(spec.tok_heavy_lo)
+               + (_u("ntok" + seed, "doc_id", "slot")
+                  * (spec.tok_heavy_hi - spec.tok_heavy_lo)).cast("int"))
+    df = df.withColumn("n_tok", F.when(heavy, heavy_n).otherwise(light_n))
+
+    # source: Zipf(alpha) over the category list (hot-key driver)
+    thresholds = zipf_thresholds(len(cfg.sources), cfg.zipf_alpha)
+    u = _u("src" + seed, "doc_id")  # per-doc, not per-row
+    src = F.lit(cfg.sources[-1])
+    for name, thr in reversed(list(zip(cfg.sources[:-1], thresholds[:-1]))):
+        src = F.when(u < thr, F.lit(name)).otherwise(src)
+    df = df.withColumn("source", src)
+
+    if with_tokens:
+        df = df.withColumn(
+            "tokens",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tok") - 1),
+                lambda i: F.pmod(
+                    F.xxhash64(F.lit("tok" + seed), F.col("doc_id"), F.col("slot"), i),
+                    F.lit(cfg.vocab_size),
+                ).cast("int"),
+            ),
+        )
+
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.n_buckets)).cast("int")
+    )
+    return df
+
+
+def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """Project raw rows to the compact per-slot observation the rollup
+    kernel consumes — entirely JVM-side (whole-stage codegen; the UDF
+    never sees token arrays):
+
+    - token stats: n_tok, sum/min/max of tokens
+    - z_re/z_im: S-wide complex unit-phasor sample of the sequence,
+      z_k = exp(i·2π·tok_{k mod n_tok}/V) — the per-slot ensemble row
+      (the analog of one date's SHP sample vector).
+    """
+    S, V = cfg.n_samples, cfg.vocab_size
+    two_pi = 6.283185307179586
+    idx = F.sequence(F.lit(0), F.lit(S - 1))
+
+    def tok_at(i):
+        # cycle when n_tok < S; element_at is 1-based
+        return F.element_at(F.col("tokens"), (F.pmod(i, F.col("n_tok")) + 1).cast("int"))
+
+    if "tokens" in df.columns:
+        df = df.select(
+            "doc_id", "slot", "ts", "source", "bucket", "n_tok",
+            F.aggregate(F.col("tokens"), F.lit(0).cast("long"),
+                        lambda a, t: a + t).alias("sum_tok"),
+            F.array_min("tokens").alias("min_tok"),
+            F.array_max("tokens").alias("max_tok"),
+            F.transform(idx, lambda i: F.cos(tok_at(i) * two_pi / V)
+                        .cast("float")).alias("z_re"),
+            F.transform(idx, lambda i: F.sin(tok_at(i) * two_pi / V)
+                        .cast("float")).alias("z_im"),
+        )
+    else:
+        # stats-only generation path: synthesize the phasor directly
+        # from hashes (same distribution, no token materialization)
+        df = df.select(
+            "doc_id", "slot", "ts", "source", "bucket", "n_tok",
+            (F.col("n_tok").cast("long") * F.lit((cfg.vocab_size - 1) // 2)).alias("sum_tok"),
+            F.lit(0).alias("min_tok"),
+            F.lit(cfg.vocab_size - 1).alias("max_tok"),
+            F.transform(idx, lambda i: F.cos(
+                F.pmod(F.xxhash64(F.lit("tok"), F.col("doc_id"), F.col("slot"), i),
+                       F.lit(V)) * two_pi / V).cast("float")).alias("z_re"),
+            F.transform(idx, lambda i: F.sin(
+                F.pmod(F.xxhash64(F.lit("tok"), F.col("doc_id"), F.col("slot"), i),
+                       F.lit(V)) * two_pi / V).cast("float")).alias("z_im"),
+        )
+    return df

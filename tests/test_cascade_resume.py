@@ -1,0 +1,98 @@
+"""Resume-protocol tests (FIXTURES.md F4): checkpointed tier jobs skip
+completed buckets; lost checkpoints trigger recompute of exactly the
+lost partitions; results are identical either way."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from miaplpy_spark.config import EngineConfig, ScaleSpec
+from miaplpy_spark.datagen import generate_sequences, prepare_observations
+from miaplpy_spark.operators.cascade import run_cascade
+from miaplpy_spark.operators.checkpoint import CheckpointLog
+from miaplpy_spark.sources.catalog import TierStore
+
+CFG = EngineConfig(n_buckets=4, n_samples=8)
+SPEC = ScaleSpec(n_docs=6, n_slots=288, tok_lo=16, tok_hi=48,
+                 tok_heavy_lo=96, tok_heavy_hi=128)
+
+
+def _table_fingerprint(spark, store, table):
+    df = store.read(spark, table)
+    cols = [c for c, t in df.dtypes if not t.startswith("array")
+            and t != "timestamp"]
+    arr = [c for c, t in df.dtypes if t.startswith("array<float")]
+    expr = F.xxhash64(*[F.round(F.col(c).cast("double"), 6).cast("string")
+                        if c in ("mean_ntok", "quality", "mean_quality_1h",
+                                 "quality_1d") else F.col(c)
+                        for c in cols])
+    return df.select(F.sum(F.pmod(expr, F.lit(10**9)))).collect()[0][0], df.count()
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    return prepare_observations(generate_sequences(spark, SPEC, CFG), CFG)
+
+
+def test_full_run_then_noop_resume(spark, obs, workdir):
+    store = TierStore(workdir)
+    m1 = run_cascade(spark, obs, store, CFG)
+    assert m1["raw->1h"]["buckets_processed"] > 0
+    fp1 = _table_fingerprint(spark, store, "rollup_1h")
+    # second run: everything checkpointed -> nothing recomputed
+    m2 = run_cascade(spark, obs, store, CFG)
+    assert m2["raw->1h"]["buckets_processed"] == 0
+    assert m2["raw->1h"]["buckets_skipped"] == m1["raw->1h"]["buckets_processed"]
+    assert m2["1h->1d"]["buckets_processed"] == 0
+    assert _table_fingerprint(spark, store, "rollup_1h") == fp1
+
+
+def test_lost_checkpoints_recompute_only_lost_buckets(spark, obs, workdir):
+    store = TierStore(workdir)
+    run_cascade(spark, obs, store, CFG)
+    fp_1h = _table_fingerprint(spark, store, "rollup_1h")
+    fp_1d = _table_fingerprint(spark, store, "rollup_1d")
+
+    # deterministically lose the checkpoint rows of bucket 0 (both tiers)
+    ck = store.read(spark, "checkpoints").where(F.col("partition_key") != 0)
+    ck_pdf = ck.toPandas()
+    import shutil
+    shutil.rmtree(store.path("checkpoints"))
+    store.append(spark.createDataFrame(ck_pdf, ck.schema), "checkpoints")
+
+    # record mtimes of untouched bucket dirs
+    untouched = {
+        p: os.path.getmtime(os.path.join(store.path("rollup_1h"), p))
+        for p in os.listdir(store.path("rollup_1h"))
+        if p.startswith("bucket=") and p != "bucket=0"
+    }
+
+    m = run_cascade(spark, obs, store, CFG)
+    assert m["raw->1h"]["buckets_processed"] == 1  # only bucket 0
+    assert m["1h->1d"]["buckets_processed"] == 1
+
+    # untouched bucket partitions were not rewritten (MERGE semantics)
+    for p, t in untouched.items():
+        assert os.path.getmtime(os.path.join(store.path("rollup_1h"), p)) == t
+
+    # final tables identical to the uninterrupted run
+    assert _table_fingerprint(spark, store, "rollup_1h") == fp_1h
+    assert _table_fingerprint(spark, store, "rollup_1d") == fp_1d
+
+
+def test_config_change_invalidates_checkpoints(spark, obs, workdir):
+    store = TierStore(workdir)
+    run_cascade(spark, obs, store, CFG)
+    cfg2 = EngineConfig(n_buckets=4, n_samples=8, method="EVD")
+    m = run_cascade(spark, obs, store, cfg2)
+    assert m["raw->1h"]["buckets_processed"] > 0  # new lineage -> recompute
+
+
+def test_metrics_view(spark, obs, workdir):
+    store = TierStore(workdir)
+    run_cascade(spark, obs, store, CFG)
+    met = CheckpointLog(store).metrics(spark).toPandas()
+    assert set(met["tier"]) == {"rollup_1h", "rollup_1d"}
+    assert (met["rows_processed"] > 0).all()
+    assert met["lineage"].notna().all()

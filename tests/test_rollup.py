@@ -1,0 +1,153 @@
+"""Golden-output tests: the Spark 1h/1d tiers must match a pure-NumPy
+oracle run over the identical synthetic rows (SURVEY.md §5 test plan;
+FIXTURES.md F3)."""
+
+import numpy as np
+import pytest
+
+from miaplpy_spark.config import EngineConfig, ScaleSpec
+from miaplpy_spark.datagen import generate_sequences, prepare_observations
+from miaplpy_spark.kernels import phase_linking as pl
+from miaplpy_spark.kernels.gapfill import fill_dense_batch
+from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+
+CFG = EngineConfig(n_buckets=4, n_samples=16)
+SPEC = ScaleSpec(n_docs=6, n_slots=576, tok_lo=16, tok_hi=48,
+                 tok_heavy_lo=96, tok_heavy_hi=128)
+
+
+@pytest.fixture(scope="module")
+def obs_pdf(spark):
+    raw = generate_sequences(spark, SPEC, CFG)
+    obs = prepare_observations(raw, CFG)
+    return obs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def tier1h(spark):
+    raw = generate_sequences(spark, SPEC, CFG)
+    obs = prepare_observations(raw, CFG)
+    return rollup_1h(obs, CFG).toPandas()
+
+
+def _oracle_window(g, cfg):
+    """Reference semantics for ONE (doc, hour) window, scalar kernels."""
+    T, S = cfg.slots_per_hour, cfg.n_samples
+    sih = (g["slot"] % T).to_numpy()
+    z = (np.stack(g["z_re"].to_numpy()).astype(np.float32)
+         + 1j * np.stack(g["z_im"].to_numpy()).astype(np.float32))
+    dense = np.zeros((1, T, S), dtype=np.complex64)
+    present = np.zeros((1, T), dtype=bool)
+    dense[0, sih] = z
+    present[0, sih] = True
+    re = fill_dense_batch(dense.real.astype(np.float64), present)
+    im = fill_dense_batch(dense.imag.astype(np.float64), present)
+    Z = (re + 1j * im).astype(np.complex64)[0]
+    vec, sq, q = pl.phase_linking_process(Z, 0, cfg.method, True, cfg.sbw_lag)
+    return np.angle(vec), sq / 1.0, q
+
+
+def test_1h_matches_scalar_oracle(obs_pdf, tier1h, spark):
+    cfg = CFG
+    out = tier1h.set_index(["doc_id", "hour_idx"])
+    obs_pdf = obs_pdf.sort_values(["doc_id", "slot"])
+    hour = obs_pdf["slot"] // cfg.slots_per_hour
+    checked = 0
+    for (doc, h), g in obs_pdf.groupby([obs_pdf["doc_id"], hour], sort=False):
+        if checked >= 40:
+            break
+        row = out.loc[(doc, h)]
+        ang, sq, q = _oracle_window(g, cfg)
+        got = np.asarray(row["linked_phase"], dtype=np.float32)
+        # compare as complex phasors (phase is mod 2π)
+        np.testing.assert_allclose(
+            np.exp(1j * got), np.exp(1j * ang), atol=2e-3,
+            err_msg=f"linked phase mismatch doc={doc} hour={h}")
+        assert abs(row["quality"] - q) < 2e-3
+        got_sq = (np.asarray(row["squeezed_re"], dtype=np.float32)
+                  + 1j * np.asarray(row["squeezed_im"], dtype=np.float32))
+        # squeeze in the engine divides by sqrt(T); oracle's
+        # phase_linking_process uses the same convention
+        np.testing.assert_allclose(got_sq, sq, atol=2e-3)
+        # aggregates: exact
+        assert row["n_obs"] == len(g)
+        assert row["n_filled"] == cfg.slots_per_hour - len(g)
+        assert row["sum_tok"] == g["sum_tok"].sum()
+        assert row["min_tok"] == g["min_tok"].min()
+        assert row["max_tok"] == g["max_tok"].max()
+        assert abs(row["mean_ntok"] - g["n_tok"].mean()) < 1e-9
+        checked += 1
+    assert checked == 40
+
+
+def test_1h_complete_coverage(obs_pdf, tier1h):
+    cfg = CFG
+    hours = obs_pdf.assign(h=obs_pdf["slot"] // cfg.slots_per_hour)
+    expected = hours.groupby(["doc_id", "h"]).size()
+    assert len(tier1h) == len(expected)
+    # every window present exactly once
+    got = tier1h.set_index(["doc_id", "hour_idx"]).index
+    assert not got.duplicated().any()
+    assert set(got) == set(expected.index)
+
+
+def test_1d_rolls_up_1h(spark, tier1h):
+    cfg = CFG
+    sdf_1h = spark.createDataFrame(tier1h)
+    out = rollup_1d(sdf_1h, cfg).toPandas()
+    day = tier1h["hour_idx"] // cfg.hours_per_day
+    exp = tier1h.groupby([tier1h["doc_id"], day]).agg(
+        n_hours=("hour_idx", "size"), n_obs=("n_obs", "sum"),
+        sum_tok=("sum_tok", "sum"), min_tok=("min_tok", "min"),
+        max_tok=("max_tok", "max"), mean_q=("quality", "mean"))
+    got = out.set_index(["doc_id", "day_idx"]).sort_index()
+    exp = exp.sort_index()
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["n_hours"].to_numpy(), exp["n_hours"].to_numpy())
+    np.testing.assert_array_equal(got["n_obs"].to_numpy(), exp["n_obs"].to_numpy())
+    np.testing.assert_array_equal(got["sum_tok"].to_numpy(), exp["sum_tok"].to_numpy())
+    np.testing.assert_allclose(got["mean_quality_1h"], exp["mean_q"], atol=1e-6)
+    # datum pass: day quality finite and in [-1, 1]; adjusted series
+    # is the hourly series rotated by the datum phasor (A11 semantics)
+    assert np.isfinite(got["quality_1d"]).all()
+    assert (np.abs(got["quality_1d"]) <= 1.0 + 1e-6).all()
+    r0 = out.iloc[0]
+    H, T = cfg.hours_per_day, cfg.slots_per_hour
+    assert len(r0["datum_shift"]) == H
+    assert len(r0["adjusted_phase"]) == H * T
+
+
+def test_datum_semantics_match_kernel(spark, tier1h):
+    """The engine's 1d datum pass == kernels.datum_connect on the same
+    squeezed rows, for a full day of one doc."""
+    cfg = CFG
+    one = tier1h[tier1h["doc_id"] == tier1h["doc_id"].iloc[0]]
+    one = one[one["hour_idx"] < cfg.hours_per_day].sort_values("hour_idx")
+    assert len(one) == cfg.hours_per_day
+    sq = (np.stack(one["squeezed_re"].to_numpy())
+          + 1j * np.stack(one["squeezed_im"].to_numpy())).astype(np.complex64)
+    vec, _, q = pl.phase_linking_process(sq, 0, "EMI", False, 0)
+    datum_oracle = np.angle(vec)
+
+    out = rollup_1d(spark.createDataFrame(tier1h), cfg).toPandas()
+    row = out[(out["doc_id"] == one["doc_id"].iloc[0]) & (out["day_idx"] == 0)].iloc[0]
+    np.testing.assert_allclose(
+        np.exp(1j * np.asarray(row["datum_shift"], dtype=np.float64)),
+        np.exp(1j * datum_oracle), atol=5e-3)
+    assert abs(row["quality_1d"] - q) < 5e-3
+
+
+def test_raw_tokens_unchanged_by_pipeline(spark):
+    """Per-row token-array equality invariant (input_hint): the engine
+    never mutates its input."""
+    import pyspark.sql.functions as F
+
+    raw = generate_sequences(spark, SPEC, CFG)
+    chk = lambda df: df.select(
+        F.sum(F.pmod(F.xxhash64("doc_id", "slot", F.col("tokens").cast("string")),
+                     F.lit(10**9)))
+    ).collect()[0][0]
+    before = chk(raw)
+    obs = prepare_observations(raw, CFG)
+    rollup_1h(obs, CFG).count()  # run the pipeline
+    assert chk(generate_sequences(spark, SPEC, CFG)) == before
