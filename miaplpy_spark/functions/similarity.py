@@ -1,0 +1,136 @@
+"""Similarity search over the embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline, pure
+  zip_with/aggregate expressions (JVM, no UDF);
+- random-hyperplane LSH buckets: the scale path — at 100 TB the
+  brute-force cross join is infeasible, the LSH plan only joins
+  within buckets (expected bucket size n/2^planes) and is evaluated
+  for recall against the baseline in tests;
+- cosine near-dup pairs: embedding-space deduplication.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_cosine(df: DataFrame, col_a: str, col_b: str, out: str = "cos") -> DataFrame:
+    a = F.transform(F.col(col_a), lambda x: x.cast("double"))
+    b = F.transform(F.col(col_b), lambda x: x.cast("double"))
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def brute_force_topk(spark, sf_dir, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Exact cosine top-k for the first ``n_queries`` vectors.
+    Deterministic across engines: rank on the ROUNDED similarity with
+    vec_id tiebreak."""
+    e = _emb(spark, sf_dir)
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    pairs = (F.broadcast(q).crossJoin(c)
+             .where(F.col("qid") != F.col("nid")))
+    pairs = with_cosine(pairs, "qv", "nv").withColumn(
+        "sim", F.round("cos", 4))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "nid", "sim", F.col("rk").cast("long").alias("rk")))
+
+
+def cosine_near_dup_pairs(spark, sf_dir, threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, within label
+    block (labels act as the coarse partitioner; at scale replace the
+    label block with LSH buckets)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"),
+                 F.col("label").alias("lab"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"),
+                 F.col("label").alias("lab"))
+    pairs = (a.join(b, "lab").where(F.col("id1") < F.col("id2")))
+    pairs = with_cosine(pairs, "v1", "v2")
+    return (pairs.select("id1", "id2", F.round("cos", 4).alias("sim"))
+            .where(F.col("sim") >= threshold))
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = 12, dim: int = 64,
+                seed: str = "lsh42") -> DataFrame:
+    """Random-hyperplane signature, hash-derived ±1 planes — fully
+    deterministic and computed without materializing plane vectors:
+    bucket bit j = sign(Σ_d emb[d]·s(j,d)), s = ±1 from xxhash64."""
+    comp = df.select(
+        "vec_id", "label",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
+        F.col("embedding"))
+    comp = comp.select(
+        "vec_id", "label", "j",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda d: (F.pmod(F.xxhash64(F.lit(seed), F.col("j"), d),
+                                              F.lit(2)) * 2 - 1).cast("double")),
+                lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x).alias("proj"))
+    bits = comp.select(
+        "vec_id", "label",
+        F.when(F.col("proj") > 0,
+               F.pow(F.lit(2.0), F.col("j")).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("bit"))
+    return bits.groupBy("vec_id", "label").agg(F.sum("bit").alias("bucket"))
+
+
+def lsh_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
+                 n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (plus Hamming-1 neighbors via bit flips), exact cosine on
+    the candidates only."""
+    e = _emb(spark, sf_dir)
+    bk = lsh_buckets(e, n_planes)
+    ebk = e.join(bk.select("vec_id", "bucket"), "vec_id")
+    # probe buckets: own bucket + all Hamming-1 flips (multi-probe LSH)
+    probes = ebk.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.explode(F.concat(
+            F.array(F.col("bucket")),
+            F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda j: F.col("bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), j).cast("long")))
+        )).alias("bucket"))
+    cand = (probes.join(ebk.select(F.col("vec_id").alias("nid"),
+                                   F.col("embedding").alias("nv"), "bucket"),
+                        "bucket")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "qv", "nid", "nv").distinct())
+    cand = with_cosine(cand, "qv", "nv").withColumn("sim", F.round("cos", 4))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "nid", "sim", F.col("rk").cast("long").alias("rk")))
+
+
+def label_centroids(spark, sf_dir) -> DataFrame:
+    """Per-label centroid of the first 4 dimensions (array aggregation
+    check shared with the DuckDB oracle)."""
+    e = _emb(spark, sf_dir)
+    return (e.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 *[F.round(F.avg(F.element_at("embedding", i + 1)), 6)
+                   .alias(f"c{i}") for i in range(4)]))

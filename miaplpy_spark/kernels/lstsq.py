@@ -1,0 +1,120 @@
+"""Network-inversion kernels: least-squares timeseries estimation from
+pairwise observations.
+
+Re-derivation (vectorized NumPy, no scipy) of the reference's
+inversion stage:
+
+- ``design_matrices``       <- get_design_matrix4timeseries,
+  /root/reference/src/miaplpy/dev/ifgram_inversion_L1L2.py:309-375
+- ``estimate_timeseries``   <- estimate_timeseries, :420-612
+  (L2 via lstsq; weighted = scale rows by sqrt(w); assemble
+  ts = cumsum(X·Δt) for velocity mode)
+- ``estimate_timeseries_batch`` — the P3 trick made total: ONE lstsq
+  solve for every pixel with no missing observations (the common
+  case), scalar loop only for gappy pixels (:1268-1330)
+- ``invert_l1``             <- invert_L1_norm (IRLS with Tikhonov
+  smoothing), :378-417
+- ``network_temporal_coherence`` <- calc_inv_quality, :677-749
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def design_matrices(pairs: list[tuple[int, int]], tbase: np.ndarray):
+    """A (incidence ±1) and B (velocity spans) matrices for a pair
+    list over date indexes 1..N-1 (date 0 is the reference and is
+    excluded, matching the reference's convention).
+
+    A[k, :]: -1 at ref_idx-1, +1 at sec_idx-1 (0 row entries for
+    index 0). B[k, j] = Δt over the spanned intervals.
+    """
+    n_date = tbase.shape[0]
+    n_pair = len(pairs)
+    A = np.zeros((n_pair, n_date - 1), dtype=np.float64)
+    B = np.zeros((n_pair, n_date - 1), dtype=np.float64)
+    for k, (i, j) in enumerate(pairs):
+        if i > 0:
+            A[k, i - 1] = -1.0
+        if j > 0:
+            A[k, j - 1] = 1.0
+        B[k, i:j] = np.diff(tbase)[i:j]
+    return A, B
+
+
+def estimate_timeseries(A: np.ndarray, y: np.ndarray,
+                        weight_sqrt: np.ndarray | None = None) -> np.ndarray:
+    """Single-pixel L2 solve: phase increments X from pair obs y;
+    weighted rows scaled by sqrt(w). Returns ts (n_date,) with ts[0]=0.
+    """
+    if weight_sqrt is not None:
+        A = A * weight_sqrt[:, None]
+        y = y * weight_sqrt
+    X, *_ = np.linalg.lstsq(A, y, rcond=None)
+    ts = np.zeros(A.shape[1] + 1, dtype=np.float64)
+    ts[1:] = X
+    return ts
+
+
+def estimate_timeseries_batch(A: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """All-valid fast path: Y is (n_pair, n_px); ONE pseudo-inverse
+    application for the whole batch (the reference's vectorized
+    whole-box solve, :1268-1299). Returns (n_date, n_px)."""
+    X, *_ = np.linalg.lstsq(A, Y, rcond=None)
+    ts = np.zeros((A.shape[1] + 1, Y.shape[1]), dtype=np.float64)
+    ts[1:] = X
+    return ts
+
+
+def estimate_timeseries_gappy(A: np.ndarray, Y: np.ndarray,
+                              mask: np.ndarray) -> np.ndarray:
+    """Gappy path: per-pixel row drop of NaN observations (F3
+    skip_invalid_obs, :653-674). mask True = valid. Redundancy check:
+    a pixel is solvable only if every date index still appears."""
+    n_date = A.shape[1] + 1
+    n_px = Y.shape[1]
+    ts = np.full((n_date, n_px), np.nan)
+    for p in range(n_px):
+        m = mask[:, p]
+        if m.sum() < A.shape[1]:
+            continue
+        Am = A[m]
+        if np.min(np.sum(Am != 0, axis=0)) < 1:
+            continue  # disconnected network for this pixel
+        X, *_ = np.linalg.lstsq(Am, Y[m, p], rcond=None)
+        ts[0, p] = 0.0
+        ts[1:, p] = X
+    return ts
+
+
+def invert_l1(R: np.ndarray, y: np.ndarray, alpha: float = 0.01,
+              max_iter: int = 100, tol: float = 1e-3) -> np.ndarray:
+    """IRLS-L1 with Tikhonov smoothing: G = [R; α·D2], W from inverse
+    residuals, iterate pinv solves until the max residual change is
+    below tol (invert_L1_norm, :378-417)."""
+    n = R.shape[1]
+    D = (np.diag(np.full(n, -2.0))
+         + np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1))
+    G = np.vstack([R, alpha * D])
+    d = np.concatenate([y, np.zeros(n)])
+    W = np.eye(G.shape[0])
+    x = np.linalg.pinv(W @ G) @ (W @ d)
+    prev_res = np.abs(G @ x - d)
+    for _ in range(max_iter):
+        w = 1.0 / np.maximum(prev_res, 1e-8)
+        W = np.diag(w / w.max())
+        x = np.linalg.pinv(W @ G) @ (W @ d)
+        res = np.abs(G @ x - d)
+        if np.max(np.abs(res - prev_res)) <= tol:
+            break
+        prev_res = res
+    return x
+
+
+def network_temporal_coherence(A: np.ndarray, ts_incr: np.ndarray,
+                               Y: np.ndarray) -> np.ndarray:
+    """Inversion quality: |Σ_k exp(i·(y_k − (A·X)_k))| / n_pair per
+    pixel (calc_inv_quality, :677-749). ts_incr is (n_date-1, n_px)."""
+    e = Y - A @ ts_incr
+    return np.abs(np.exp(1j * e).sum(axis=0)) / A.shape[0]

@@ -99,3 +99,87 @@ def run_cascade(
     m2 = _run_tier(spark, TIER_1D, df_1h, rollup_1d, store, ckpt, cfg,
                    input_id + ">" + m1["lineage"], resume)
     return {"raw->1h": m1, "1h->1d": m2}
+
+
+WATERMARK_TABLE = "tier_watermarks"
+
+
+def _read_watermark(spark: SparkSession, store: TierStore, tier: str) -> int:
+    if not store.exists(spark, WATERMARK_TABLE):
+        return -1
+    df = store.read(spark, WATERMARK_TABLE).where(F.col("tier") == tier)
+    row = df.agg(F.max_by("max_idx", "updated_at").alias("w")).collect()[0]
+    return int(row["w"]) if row["w"] is not None else -1
+
+
+def _write_watermark(spark: SparkSession, store: TierStore, tier: str,
+                     max_idx: int) -> None:
+    df = spark.createDataFrame(
+        [(tier, int(max_idx))], "tier string, max_idx long"
+    ).withColumn("updated_at", F.current_timestamp())
+    store.append(df, WATERMARK_TABLE)
+
+
+def run_cascade_incremental(
+    spark: SparkSession,
+    raw_obs: DataFrame,
+    store: TierStore,
+    cfg: EngineConfig = EngineConfig(),
+) -> dict:
+    """Update-mode incremental extension (the reference's T3/T4:
+    update_or_skip_inversion + persisted squeezed carry,
+    objects/utils.py:1220-1241, objects/inversion_utils.py:149-217):
+    new arrivals extend the tiers WITHOUT recomputing closed windows.
+
+    Semantics: windows strictly below the stored watermark are
+    immutable; the watermark window itself (possibly open at last run)
+    is recomputed from raw; tier rows = old rows below the boundary ∪
+    freshly-computed rows at/after it, MERGEd per bucket. On Iceberg
+    this is literally `MERGE INTO tier ... WHEN MATCHED ... ON
+    hour_idx >= boundary`; the parquet fallback composes the union and
+    overwrites partitions."""
+    H = cfg.slots_per_hour
+    out = {}
+
+    # raw -> 1h
+    wm_h = _read_watermark(spark, store, TIER_1H)
+    boundary_h = max(wm_h, 0)
+    new_obs = raw_obs.where((F.col("slot") / H).cast("int") >= boundary_h)
+    fresh_1h = rollup_1h(new_obs, cfg)
+    if wm_h >= 0 and store.exists(spark, TIER_1H):
+        # localCheckpoint materializes the old rows BEFORE the
+        # overwrite touches their files (parquet fallback reads lazily;
+        # Iceberg's snapshot isolation makes this a no-op concern)
+        old = (store.read(spark, TIER_1H)
+               .where(F.col("hour_idx") < boundary_h)
+               .localCheckpoint(eager=True))
+        merged = old.unionByName(fresh_1h, allowMissingColumns=True)
+    else:
+        merged = fresh_1h
+    store.merge_partitions(merged, TIER_1H)
+    tier_1h = store.read(spark, TIER_1H)
+    max_h = tier_1h.agg(F.max("hour_idx")).collect()[0][0] or 0
+    _write_watermark(spark, store, TIER_1H, max_h)
+    out["raw->1h"] = {"recomputed_from_hour": boundary_h,
+                      "new_watermark": int(max_h)}
+
+    # 1h -> 1d: only days touched by recomputed hours change
+    wm_d = _read_watermark(spark, store, TIER_1D)
+    boundary_d = max(wm_d, 0)
+    src = tier_1h.where((F.col("hour_idx") / cfg.hours_per_day).cast("int")
+                        >= boundary_d)
+    fresh_1d = rollup_1d(src, cfg)
+    if wm_d >= 0 and store.exists(spark, TIER_1D):
+        old_d = (store.read(spark, TIER_1D)
+                 .where(F.col("day_idx") < boundary_d)
+                 .localCheckpoint(eager=True))
+        merged_d = old_d.unionByName(fresh_1d, allowMissingColumns=True)
+    else:
+        merged_d = fresh_1d
+    store.merge_partitions(merged_d, TIER_1D)
+    max_d = (store.read(spark, TIER_1D).agg(F.max("day_idx")).collect()[0][0]
+             or 0)
+    _write_watermark(spark, store, TIER_1D, max_d)
+    out["1h->1d"] = {"recomputed_from_day": boundary_d,
+                     "new_watermark": int(max_d)}
+    return out

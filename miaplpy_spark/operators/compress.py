@@ -1,0 +1,131 @@
+"""Compressed-series columns for tier tables: delta-of-delta timestamps
++ Gorilla XOR values packed into ``binary`` blobs, one blob per
+(doc_id, day) segment (north_rule; see kernels/codecs.py).
+
+At 10^12 scale the hot tier keeps raw columns and the cold tiers keep
+only blobs: a day of hourly points shrinks from 24 rows to one ~100-
+byte row, and the blob layout preserves mergeability (blobs are
+per-partition, so tier MERGE jobs never rewrite neighbors).
+
+Same mapInPandas-with-carry execution shape as the rollup kernels —
+encode is pure NumPy bit packing per segment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import EngineConfig
+from ..kernels.codecs import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+
+
+def _group_starts(doc: np.ndarray, win: np.ndarray) -> np.ndarray:
+    chg = np.empty(doc.shape[0], dtype=bool)
+    chg[0] = True
+    chg[1:] = (doc[1:] != doc[:-1]) | (win[1:] != win[:-1])
+    return np.flatnonzero(chg)
+
+
+def _carry_iter(batches, win_of, process):
+    """Hold back the last (possibly incomplete) group of each pandas
+    batch; flush at partition end. The 1h tier is ~2 orders smaller
+    than raw, so pandas batches are fine here."""
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        doc = pdf["doc_id"].to_numpy()
+        starts = _group_starts(doc, win_of(pdf))
+        last = starts[-1]
+        if last == 0:
+            carry = pdf
+            continue
+        carry = pdf.iloc[last:].reset_index(drop=True)
+        yield process(pdf.iloc[:last])
+    if carry is not None and len(carry):
+        yield process(carry)
+
+COMPRESSED_SCHEMA = (
+    "doc_id string, source string, bucket int, day_idx int, n_points int, "
+    "ts_blob binary, quality_blob binary, mean_ntok_blob binary, "
+    "raw_bytes long, blob_bytes long"
+)
+
+DECOMPRESSED_SCHEMA = (
+    "doc_id string, source string, bucket int, day_idx int, "
+    "hour_ts timestamp, quality double, mean_ntok double"
+)
+
+
+def compress_1h(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
+                num_partitions: int | None = None) -> DataFrame:
+    H = cfg.hours_per_day
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf["doc_id"].to_numpy()
+        hour_idx = pdf["hour_idx"].to_numpy()
+        day = hour_idx // H
+        starts = _group_starts(doc, day)
+        ends = np.append(starts[1:], len(pdf))
+        ts = (pdf["hour_ts"].astype("int64") // 10**9).to_numpy()
+        q = pdf["quality"].to_numpy().astype(np.float64)
+        mn = pdf["mean_ntok"].to_numpy().astype(np.float64)
+        rows = []
+        for s, e in zip(starts, ends):
+            tb = encode_dod(ts[s:e])
+            qb = encode_gorilla(q[s:e])
+            mb = encode_gorilla(mn[s:e])
+            rows.append((
+                doc[s], pdf["source"].iloc[s], int(pdf["bucket"].iloc[s]),
+                int(day[s]), int(e - s), tb, qb, mb,
+                int((e - s) * (8 + 8 + 8)), len(tb) + len(qb) + len(mb),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "source", "bucket", "day_idx", "n_points",
+            "ts_blob", "quality_blob", "mean_ntok_blob",
+            "raw_bytes", "blob_bytes"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _carry_iter(
+            batches, lambda pdf: pdf["hour_idx"].to_numpy() // H, process)
+
+    p = num_partitions or cfg.n_buckets
+    return (df_1h.repartition(p, "bucket")
+                 .sortWithinPartitions("doc_id", "hour_idx")
+                 .mapInPandas(kernel, COMPRESSED_SCHEMA))
+
+
+def decompress_1h(df_blobs: DataFrame) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "source", "bucket", "day_idx",
+                                   "hour_ts", "quality", "mean_ntok")}
+            for _, r in pdf.iterrows():
+                ts = decode_dod(bytes(r["ts_blob"]))
+                q = decode_gorilla(bytes(r["quality_blob"]))
+                m = decode_gorilla(bytes(r["mean_ntok_blob"]))
+                n = len(ts)
+                out["doc_id"].extend([r["doc_id"]] * n)
+                out["source"].extend([r["source"]] * n)
+                out["bucket"].extend([r["bucket"]] * n)
+                out["day_idx"].extend([r["day_idx"]] * n)
+                out["hour_ts"].extend(pd.to_datetime(ts, unit="s"))
+                out["quality"].extend(q)
+                out["mean_ntok"].extend(m)
+            yield pd.DataFrame(out)
+
+    return df_blobs.mapInPandas(kernel, DECOMPRESSED_SCHEMA)

@@ -2,18 +2,27 @@
 
 Execution shape (the engine's core design decision):
 
-    obs.repartition(n_buckets, "bucket")
-       .sortWithinPartitions("doc_id", "slot")
-       .mapInPandas(kernel, TIER_SCHEMA)
+    obs.withColumn("doc_key", xxhash64(doc_id))
+       .repartition(n_buckets, "bucket")
+       .sortWithinPartitions("doc_key", "slot")
+       .mapInArrow(kernel, TIER_SCHEMA)
 
-NOT ``groupBy(doc, window).applyInPandas`` — that would invoke Python
-once per (doc, window) group (~10 rows each), re-creating the
-reference's per-pixel-loop bottleneck (lib/utils.pyx:1110-1187) that
-capped its scaling efficiency at 0.55-0.63. Instead each Arrow batch
-carries thousands of complete windows; the kernel reshapes them into
-one (G, T, S) stack and runs ONE batched eigendecomposition
-(SURVEY.md P3/P8: the reference's "vectorize the common case" trick,
-promoted to the whole pipeline).
+Three deliberate choices, each measured in this sandbox:
+
+1. NOT ``groupBy(doc, window).applyInPandas`` — that invokes Python
+   once per (doc, window) group (~10 rows each), re-creating the
+   reference's per-pixel-loop bottleneck (lib/utils.pyx:1110-1187)
+   that capped its scaling efficiency at 0.55-0.63. Each Arrow batch
+   here carries thousands of complete windows through ONE batched
+   eigendecomposition.
+2. ``mapInArrow``, not ``mapInPandas`` — pandas conversion of list
+   columns materializes one numpy object per row (measured ~10 s flat
+   overhead on 9M rows, and it does not parallelize well); the Arrow
+   kernel reshapes the list column's flat value buffer zero-copy.
+3. sort key is ``doc_key`` (xxhash64 of doc_id), not the string —
+   long sorts are ~3x cheaper through the shuffle sorter. (Collision
+   odds at sandbox scale ~1e-11; a 10^12-doc deployment should widen
+   to a 128-bit key, e.g. two xxhash64 salts.)
 
 Window semantics: each 1h window (= 10 raw slots = one mini-stack,
 defaults/miaplpyApp_auto.cfg:19) is phase-linked independently and
@@ -29,6 +38,10 @@ tests.
 Gap handling: aggregates cover PRESENT rows only; the eigen ensemble
 is gap-filled by vectorized linear interpolation (north_rule; the
 filled count is exposed as ``n_filled``).
+
+Complex payloads are packed ``array<float>`` columns (re[0..k) ‖
+im[0..k)) — one array header per row instead of two through the
+shuffle (measured ~1.7x cheaper).
 """
 
 from __future__ import annotations
@@ -36,7 +49,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import EngineConfig
@@ -44,26 +58,57 @@ from ..kernels import phase_linking as pl
 from ..kernels.gapfill import fill_dense_batch
 
 ROLLUP_1H_SCHEMA = (
-    "doc_id string, source string, bucket int, hour_ts timestamp, "
+    "doc_id string, doc_key long, source string, bucket int, "
     "hour_idx int, n_obs int, n_filled int, sum_tok long, min_tok int, "
     "max_tok int, mean_ntok double, linked_phase array<float>, "
-    "squeezed_re array<float>, squeezed_im array<float>, quality float"
+    "squeezed array<float>, quality float"
 )
 
 ROLLUP_1D_SCHEMA = (
-    "doc_id string, source string, bucket int, day_ts timestamp, "
+    "doc_id string, doc_key long, source string, bucket int, "
     "day_idx int, n_hours int, n_obs int, n_filled int, sum_tok long, "
     "min_tok int, max_tok int, mean_ntok double, mean_quality_1h double, "
     "quality_1d float, datum_shift array<float>, "
-    "adjusted_phase array<float>, squeezed_re array<float>, "
-    "squeezed_im array<float>"
+    "adjusted_phase array<float>, squeezed array<float>"
 )
 
+_PA_TYPES = {
+    "string": pa.string(), "long": pa.int64(), "int": pa.int32(),
+    "double": pa.float64(), "float": pa.float32(),
+    "array<float>": pa.list_(pa.float32()),
+}
 
-def _group_starts(doc: np.ndarray, win: np.ndarray) -> np.ndarray:
-    chg = np.empty(doc.shape[0], dtype=bool)
+
+def _pa_schema(ddl: str) -> pa.Schema:
+    fields = []
+    for part in ddl.split(", "):
+        name, typ = part.split(" ", 1)
+        fields.append(pa.field(name, _PA_TYPES[typ]))
+    return pa.schema(fields)
+
+
+def _list_col(mat: np.ndarray) -> pa.Array:
+    """(G, K) float32 -> Arrow list<float32> without per-row objects."""
+    G, K = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (G + 1) * K, K, dtype=np.int32)),
+        pa.array(np.ascontiguousarray(mat, dtype=np.float32).reshape(-1)),
+    )
+
+
+def _flat_lists(col: pa.ChunkedArray | pa.Array, width: int, n: int) -> np.ndarray:
+    """list<float> column whose lists all have ``width`` -> (n, width)
+    float32 view of the flat value buffer (zero copy when possible)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat, dtype=np.float32).reshape(n, width)
+
+
+def _group_starts(key: np.ndarray, win: np.ndarray) -> np.ndarray:
+    chg = np.empty(key.shape[0], dtype=bool)
     chg[0] = True
-    chg[1:] = (doc[1:] != doc[:-1]) | (win[1:] != win[:-1])
+    chg[1:] = (key[1:] != key[:-1]) | (win[1:] != win[:-1])
     return np.flatnonzero(chg)
 
 
@@ -109,55 +154,93 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0):
     return vec, quality, squeezed.astype(np.complex64)
 
 
-def _carry_iter(batches: Iterator[pd.DataFrame], win_of, process):
-    """Shared batch-carry loop: hold back the (possibly incomplete)
-    last group of each Arrow batch; flush it at partition end. Rows
-    arrive sorted by (doc_id, window) within the partition."""
-    carry = None
-    for pdf in batches:
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        if not len(pdf):
-            continue
-        doc = pdf["doc_id"].to_numpy()
-        win = win_of(pdf)
-        starts = _group_starts(doc, win)
-        last = starts[-1]
-        if last == 0:
-            carry = pdf
-            continue
-        carry = pdf.iloc[last:].reset_index(drop=True)
-        yield process(pdf.iloc[:last])
-    if carry is not None and len(carry):
-        yield process(carry)
+class _Carry:
+    """Holds the (possibly incomplete) trailing group between Arrow
+    batches of one partition. Numeric columns are numpy; the tiny
+    per-row string columns (doc_id, source) are Python lists —
+    strings are only ever materialized for group-start rows and
+    carried rows, never for the bulk."""
+
+    __slots__ = ("num", "strs")
+
+    def __init__(self, num: dict, strs: dict):
+        self.num = num
+        self.strs = strs
+
+
+def _extract(batch: pa.RecordBatch, num_cols: list[str],
+             list_cols: dict[str, int]) -> tuple[dict, dict]:
+    n = batch.num_rows
+    num = {}
+    for c in num_cols:
+        num[c] = batch.column(c).to_numpy(zero_copy_only=False)
+    for c, width in list_cols.items():
+        num[c] = _flat_lists(batch.column(c), width, n)
+    strs = {c: batch.column(c) for c in ("doc_id", "source")}
+    return num, strs
+
+
+def _concat(carry: _Carry | None, num: dict, strs: dict) -> tuple[dict, list]:
+    """Merge carried rows in front of the current batch. Returns the
+    merged numeric dict and a string lookup: an ordered list of
+    (segment_length, strs_dict) used to materialize doc_id/source at
+    arbitrary indices (carry segments hold Python lists, batch
+    segments hold Arrow arrays)."""
+    n = len(next(iter(num.values())))
+    if carry is None:
+        return num, [(n, strs)]
+    merged = {k: np.concatenate([carry.num[k], num[k]]) for k in num}
+    carry_n = len(next(iter(carry.num.values())))
+    return merged, [(carry_n, carry.strs), (n, strs)]
+
+
+def _take_strs(lookup, idx: np.ndarray, col: str) -> list:
+    """Materialize string values at ``idx`` across lookup segments."""
+    out = []
+    for i in idx:
+        i = int(i)
+        for seg_len, strs in lookup:
+            if i < seg_len:
+                v = strs[col][i]
+                out.append(v.as_py() if hasattr(v, "as_py") else v)
+                break
+            i -= seg_len
+    return out
+
+
+def _slice_tail(num: dict, lookup, start: int, n: int) -> _Carry:
+    tail_num = {k: v[start:] for k, v in num.items()}
+    idx = np.arange(start, n)
+    tail_strs = {c: _take_strs(lookup, idx, c) for c in ("doc_id", "source")}
+    return _Carry(tail_num, tail_strs)
 
 
 def make_rollup_1h_kernel(cfg: EngineConfig):
     T, S = cfg.slots_per_hour, cfg.n_samples
-    epoch0, hour_seconds = cfg.epoch0, cfg.hour_seconds
     method, lag = cfg.method, cfg.sbw_lag
+    out_schema = _pa_schema(ROLLUP_1H_SCHEMA)
+    num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
+                "min_tok", "max_tok"]
+    list_cols = {"z": 2 * S}
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        doc = pdf["doc_id"].to_numpy()
-        slot = pdf["slot"].to_numpy()
+    def process(num: dict, lookup) -> pa.RecordBatch:
+        n = num["doc_key"].shape[0]
+        doc_key = num["doc_key"]
+        slot = num["slot"]
         hour = slot // T
         sih = slot % T
-        starts = _group_starts(doc, hour)
+        starts = _group_starts(doc_key, hour)
         G = starts.shape[0]
-        gid = np.cumsum(
-            np.concatenate([[True], (doc[1:] != doc[:-1]) | (hour[1:] != hour[:-1])])
-        ) - 1
+        gid = np.cumsum(np.concatenate(
+            [[True], (doc_key[1:] != doc_key[:-1]) | (hour[1:] != hour[:-1])])) - 1
 
-        z = (np.stack(pdf["z_re"].to_numpy()).astype(np.float32)
-             + 1j * np.stack(pdf["z_im"].to_numpy()).astype(np.float32))
+        zarr = num["z"]
+        z = zarr[:, :S] + 1j * zarr[:, S:]
 
         dense = np.zeros((G, T, S), dtype=np.complex64)
         present = np.zeros((G, T), dtype=bool)
         dense[gid, sih] = z
         present[gid, sih] = True
-
         re = fill_dense_batch(dense.real.astype(np.float64), present)
         im = fill_dense_batch(dense.imag.astype(np.float64), present)
         Z = (re + 1j * im).astype(np.complex64)
@@ -166,72 +249,101 @@ def make_rollup_1h_kernel(cfg: EngineConfig):
 
         ends = np.append(starts[1:], n)
         n_obs = (ends - starts).astype(np.int32)
-        sum_tok = np.add.reduceat(pdf["sum_tok"].to_numpy(), starts)
-        min_tok = np.minimum.reduceat(pdf["min_tok"].to_numpy(), starts)
-        max_tok = np.maximum.reduceat(pdf["max_tok"].to_numpy(), starts)
-        ntok = pdf["n_tok"].to_numpy().astype(np.float64)
-        mean_ntok = np.add.reduceat(ntok, starts) / n_obs
+        sum_tok = np.add.reduceat(num["sum_tok"], starts)
+        min_tok = np.minimum.reduceat(num["min_tok"], starts)
+        max_tok = np.maximum.reduceat(num["max_tok"], starts)
+        mean_ntok = np.add.reduceat(num["n_tok"].astype(np.float64), starts) / n_obs
 
-        hour_g = hour[starts]
-        lp = np.angle(vec).astype(np.float32)
-        return pd.DataFrame({
-            "doc_id": doc[starts],
-            "source": pdf["source"].to_numpy()[starts],
-            "bucket": pdf["bucket"].to_numpy()[starts],
-            "hour_ts": pd.to_datetime(epoch0 + hour_g * hour_seconds, unit="s"),
-            "hour_idx": hour_g.astype(np.int32),
-            "n_obs": n_obs,
-            "n_filled": (T - n_obs).astype(np.int32),
-            "sum_tok": sum_tok.astype(np.int64),
-            "min_tok": min_tok.astype(np.int32),
-            "max_tok": max_tok.astype(np.int32),
-            "mean_ntok": mean_ntok,
-            "linked_phase": list(lp),
-            "squeezed_re": list(squeezed.real.astype(np.float32)),
-            "squeezed_im": list(squeezed.imag.astype(np.float32)),
-            "quality": quality,
-        })
+        sq_packed = np.concatenate([squeezed.real, squeezed.imag], axis=1)
+        arrays = [
+            pa.array(_take_strs(lookup, starts, "doc_id"), pa.string()),
+            pa.array(doc_key[starts], pa.int64()),
+            pa.array(_take_strs(lookup, starts, "source"), pa.string()),
+            pa.array(num["bucket"][starts].astype(np.int32)),
+            pa.array(hour[starts].astype(np.int32)),
+            pa.array(n_obs),
+            pa.array((T - n_obs).astype(np.int32)),
+            pa.array(sum_tok.astype(np.int64)),
+            pa.array(min_tok.astype(np.int32)),
+            pa.array(max_tok.astype(np.int32)),
+            pa.array(mean_ntok),
+            _list_col(np.angle(vec).astype(np.float32)),
+            _list_col(sq_packed.astype(np.float32)),
+            pa.array(quality.astype(np.float32)),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from _carry_iter(
-            batches, lambda pdf: pdf["slot"].to_numpy() // T, process
-        )
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        carry = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            num, strs = _extract(batch, num_cols, list_cols)
+            num, lookup = _concat(carry, num, strs)
+            carry = None
+            doc_key = num["doc_key"]
+            hour = num["slot"] // T
+            starts = _group_starts(doc_key, hour)
+            last = starts[-1]
+            n = doc_key.shape[0]
+            if last == 0:
+                carry = _slice_tail(num, lookup, 0, n)
+                continue
+            carry = _slice_tail(num, lookup, last, n)
+            num_head = {k: v[:last] for k, v in num.items()}
+            yield process(num_head, lookup)
+        if carry is not None:
+            num = carry.num
+            lookup = [(len(next(iter(num.values()))), carry.strs)]
+            yield process(num, lookup)
 
     return kernel
 
 
 def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              assume_partitioned: bool = False) -> DataFrame:
     """raw observations -> 1h tier. One shuffle (by bucket), then the
     kernel runs map-side; output stays partitioned by bucket for the
     1d tier and the MERGE write (partitioning reuse, no second
-    shuffle)."""
+    shuffle). hour_ts is attached JVM-side after the kernel.
+
+    ``assume_partitioned=True`` elides even the first exchange for
+    inputs written by sources.sequences.write_sequences under its
+    bucketed-read contract (one sorted unsplit file per bucket)."""
     p = num_partitions or cfg.n_buckets
-    return (obs.repartition(p, "bucket")
-               .sortWithinPartitions("doc_id", "slot")
-               .mapInPandas(make_rollup_1h_kernel(cfg), ROLLUP_1H_SCHEMA))
+    if "doc_key" not in obs.columns:
+        obs = obs.withColumn("doc_key", F.xxhash64("doc_id"))
+    part = obs if assume_partitioned else (
+        obs.repartition(p, "bucket").sortWithinPartitions("doc_key", "slot"))
+    out = part.mapInArrow(make_rollup_1h_kernel(cfg), ROLLUP_1H_SCHEMA)
+    return out.withColumn(
+        "hour_ts",
+        F.timestamp_seconds(F.lit(cfg.epoch0)
+                            + F.col("hour_idx").cast("long") * cfg.hour_seconds))
 
 
 def make_rollup_1d_kernel(cfg: EngineConfig):
     H, S, T = cfg.hours_per_day, cfg.n_samples, cfg.slots_per_hour
-    epoch0, day_seconds = cfg.epoch0, cfg.day_seconds
     method = cfg.method
+    out_schema = _pa_schema(ROLLUP_1D_SCHEMA)
+    num_cols = ["doc_key", "hour_idx", "bucket", "n_obs", "n_filled",
+                "sum_tok", "min_tok", "max_tok", "mean_ntok", "quality"]
+    list_cols = {"linked_phase": T, "squeezed": 2 * S}
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        doc = pdf["doc_id"].to_numpy()
-        hour_idx = pdf["hour_idx"].to_numpy()
+    def process(num: dict, lookup) -> pa.RecordBatch:
+        n = num["doc_key"].shape[0]
+        doc_key = num["doc_key"]
+        hour_idx = num["hour_idx"]
         day = hour_idx // H
         hid = hour_idx % H
-        starts = _group_starts(doc, day)
+        starts = _group_starts(doc_key, day)
         G = starts.shape[0]
-        gid = np.cumsum(
-            np.concatenate([[True], (doc[1:] != doc[:-1]) | (day[1:] != day[:-1])])
-        ) - 1
+        gid = np.cumsum(np.concatenate(
+            [[True], (doc_key[1:] != doc_key[:-1]) | (day[1:] != day[:-1])])) - 1
 
-        sq = (np.stack(pdf["squeezed_re"].to_numpy()).astype(np.float32)
-              + 1j * np.stack(pdf["squeezed_im"].to_numpy()).astype(np.float32))
-        lp_h = np.stack(pdf["linked_phase"].to_numpy()).astype(np.float32)
+        sq_in = num["squeezed"]
+        sq = sq_in[:, :S] + 1j * sq_in[:, S:]
 
         dense = np.zeros((G, H, S), dtype=np.complex64)
         present = np.zeros((G, H), dtype=bool)
@@ -245,57 +357,96 @@ def make_rollup_1d_kernel(cfg: EngineConfig):
         vec, quality_1d, day_squeezed = _link_batch(SQ, method)
         datum = np.angle(vec).astype(np.float32)  # (G, H)
 
-        # adjusted series: hourly linked phase + datum shift, rewrapped
         lp_dense = np.zeros((G, H, T), dtype=np.float32)
-        lp_dense[gid, hid] = lp_h
+        lp_dense[gid, hid] = num["linked_phase"]
         adj = np.angle(np.exp(1j * (lp_dense + datum[:, :, None]))).astype(np.float32)
         adj = adj.reshape(G, H * T)
 
         ends = np.append(starts[1:], n)
         n_hours = (ends - starts).astype(np.int32)
-        n_obs = np.add.reduceat(pdf["n_obs"].to_numpy(), starts).astype(np.int32)
-        n_filled = np.add.reduceat(pdf["n_filled"].to_numpy(), starts).astype(np.int32)
-        sum_tok = np.add.reduceat(pdf["sum_tok"].to_numpy(), starts)
-        min_tok = np.minimum.reduceat(pdf["min_tok"].to_numpy(), starts)
-        max_tok = np.maximum.reduceat(pdf["max_tok"].to_numpy(), starts)
-        w_mean = (np.add.reduceat(
-            pdf["mean_ntok"].to_numpy() * pdf["n_obs"].to_numpy(), starts) / n_obs)
-        mean_q = np.add.reduceat(pdf["quality"].to_numpy().astype(np.float64),
-                                 starts) / n_hours
+        n_obs = np.add.reduceat(num["n_obs"], starts).astype(np.int32)
+        n_filled = np.add.reduceat(num["n_filled"], starts).astype(np.int32)
+        sum_tok = np.add.reduceat(num["sum_tok"], starts)
+        min_tok = np.minimum.reduceat(num["min_tok"], starts)
+        max_tok = np.maximum.reduceat(num["max_tok"], starts)
+        w_mean = (np.add.reduceat(num["mean_ntok"] * num["n_obs"], starts)
+                  / np.maximum(n_obs, 1))
+        mean_q = (np.add.reduceat(num["quality"].astype(np.float64), starts)
+                  / n_hours)
 
-        day_g = day[starts]
-        return pd.DataFrame({
-            "doc_id": doc[starts],
-            "source": pdf["source"].to_numpy()[starts],
-            "bucket": pdf["bucket"].to_numpy()[starts],
-            "day_ts": pd.to_datetime(epoch0 + day_g * day_seconds, unit="s"),
-            "day_idx": day_g.astype(np.int32),
-            "n_hours": n_hours,
-            "n_obs": n_obs,
-            "n_filled": n_filled,
-            "sum_tok": sum_tok.astype(np.int64),
-            "min_tok": min_tok.astype(np.int32),
-            "max_tok": max_tok.astype(np.int32),
-            "mean_ntok": w_mean,
-            "mean_quality_1h": mean_q,
-            "quality_1d": quality_1d,
-            "datum_shift": list(datum),
-            "adjusted_phase": list(adj),
-            "squeezed_re": list(day_squeezed.real.astype(np.float32)),
-            "squeezed_im": list(day_squeezed.imag.astype(np.float32)),
-        })
+        day_packed = np.concatenate([day_squeezed.real, day_squeezed.imag], axis=1)
+        arrays = [
+            pa.array(_take_strs(lookup, starts, "doc_id"), pa.string()),
+            pa.array(doc_key[starts], pa.int64()),
+            pa.array(_take_strs(lookup, starts, "source"), pa.string()),
+            pa.array(num["bucket"][starts].astype(np.int32)),
+            pa.array(day[starts].astype(np.int32)),
+            pa.array(n_hours),
+            pa.array(n_obs),
+            pa.array(n_filled),
+            pa.array(sum_tok.astype(np.int64)),
+            pa.array(min_tok.astype(np.int32)),
+            pa.array(max_tok.astype(np.int32)),
+            pa.array(w_mean),
+            pa.array(mean_q),
+            pa.array(quality_1d.astype(np.float32)),
+            _list_col(datum),
+            _list_col(adj),
+            _list_col(day_packed.astype(np.float32)),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from _carry_iter(
-            batches, lambda pdf: pdf["hour_idx"].to_numpy() // H, process
-        )
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        carry = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            num, strs = _extract(batch, num_cols, list_cols)
+            num, lookup = _concat(carry, num, strs)
+            carry = None
+            doc_key = num["doc_key"]
+            day = num["hour_idx"] // H
+            starts = _group_starts(doc_key, day)
+            last = starts[-1]
+            n = doc_key.shape[0]
+            if last == 0:
+                carry = _slice_tail(num, lookup, 0, n)
+                continue
+            carry = _slice_tail(num, lookup, last, n)
+            num_head = {k: v[:last] for k, v in num.items()}
+            yield process(num_head, lookup)
+        if carry is not None:
+            num = carry.num
+            lookup = [(len(next(iter(num.values()))), carry.strs)]
+            yield process(num, lookup)
 
     return kernel
 
 
 def rollup_1d(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              assume_partitioned: bool = False) -> DataFrame:
+    """1h tier -> 1d tier.
+
+    ``assume_partitioned=True`` is the in-pipeline fast path: a
+    DataFrame coming straight out of ``rollup_1h`` is ALREADY
+    bucket-partitioned and (doc_key, hour)-ordered within partitions
+    (mapInArrow is narrow — it preserves both), so the second exchange
+    + sort is elided entirely (partitioning reuse, SURVEY.md P2).
+    Reading the 1h tier back from storage loses the ordering guarantee
+    across files — use the default shuffle path there."""
     p = num_partitions or cfg.n_buckets
-    return (df_1h.repartition(p, "bucket")
-                 .sortWithinPartitions("doc_id", "hour_idx")
-                 .mapInPandas(make_rollup_1d_kernel(cfg), ROLLUP_1D_SCHEMA))
+    if "doc_key" not in df_1h.columns:
+        df_1h = df_1h.withColumn("doc_key", F.xxhash64("doc_id"))
+    cols = ["doc_id", "doc_key", "source", "bucket", "hour_idx", "n_obs",
+            "n_filled", "sum_tok", "min_tok", "max_tok", "mean_ntok",
+            "linked_phase", "squeezed", "quality"]
+    part = df_1h.select(*cols)
+    if not assume_partitioned:
+        part = (part.repartition(p, "bucket")
+                    .sortWithinPartitions("doc_key", "hour_idx"))
+    out = part.mapInArrow(make_rollup_1d_kernel(cfg), ROLLUP_1D_SCHEMA)
+    return out.withColumn(
+        "day_ts",
+        F.timestamp_seconds(F.lit(cfg.epoch0)
+                            + F.col("day_idx").cast("long") * cfg.day_seconds))

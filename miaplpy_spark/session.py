@@ -29,7 +29,7 @@ def get_spark(
     app_name: str = "miaplpy_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 2048,
+    arrow_batch: int = 8192,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or get) the engine session.

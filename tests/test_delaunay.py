@@ -1,0 +1,71 @@
+"""Delaunay network kernel tests (J3, pure NumPy Bowyer-Watson)."""
+
+import numpy as np
+import pytest
+
+from miaplpy_spark.kernels.delaunay import (
+    delaunay_edges,
+    delaunay_pairs,
+    delaunay_triangles,
+)
+
+
+def test_square_has_five_edges():
+    pts = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], dtype=float)
+    e = delaunay_edges(pts)
+    assert len(e) == 5  # 4 sides + 1 diagonal
+    sides = {(0, 1), (0, 2), (1, 3), (2, 3)}
+    assert sides <= e
+
+
+def test_triangle_count_euler():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 100, (40, 2))
+    tris = delaunay_triangles(pts)
+    edges = delaunay_edges(pts)
+    # planar triangulation of n points with h hull points:
+    # T = 2n - 2 - h, E = 3n - 3 - h  =>  E - T = n - 1
+    assert len(edges) - len(tris) == len(pts) - 1
+    assert len(edges) <= 3 * len(pts) - 6
+
+
+def test_empty_circumcircle_property_sampled():
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 10, (25, 2))
+    tris = delaunay_triangles(pts)
+    from miaplpy_spark.kernels.delaunay import _circumcircle_contains
+    for t in tris[:10]:
+        tri = pts[list(t)]
+        for k in range(25):
+            if k in t:
+                continue
+            assert not _circumcircle_contains(tri, pts[k]), (t, k)
+
+
+def test_nearest_neighbor_edge_present():
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 50, (30, 2))
+    e = delaunay_edges(pts)
+    for i in range(30):
+        d = np.linalg.norm(pts - pts[i], axis=1)
+        d[i] = np.inf
+        j = int(np.argmin(d))
+        assert (min(i, j), max(i, j)) in e
+
+
+def test_pairs_threshold_filter():
+    t = np.arange(0, 600, 12, dtype=float)  # 50 dates, 12-day cadence
+    rng = np.random.default_rng(5)
+    bp = rng.uniform(-300, 300, t.shape[0])
+    pairs = delaunay_pairs(t, bp, max_temporal_days=120, max_perp=200)
+    assert pairs
+    for i, j in pairs:
+        assert t[j] - t[i] <= 120 and t[j] >= t[i]
+        assert abs(bp[j] - bp[i]) <= 200
+
+
+def test_degenerate_inputs():
+    assert delaunay_triangles(np.zeros((2, 2))) == []
+    # collinear points: no valid triangles, must not crash
+    pts = np.column_stack([np.arange(5.0), np.arange(5.0)])
+    delaunay_triangles(pts)

@@ -1,0 +1,78 @@
+"""Network-inversion kernel tests: recover a known series from its
+pair differences (A16-A19 semantics)."""
+
+import numpy as np
+import pytest
+
+from miaplpy_spark.kernels.lstsq import (
+    design_matrices,
+    estimate_timeseries,
+    estimate_timeseries_batch,
+    estimate_timeseries_gappy,
+    invert_l1,
+    network_temporal_coherence,
+)
+from miaplpy_spark.operators.network_inversion import sequential_pairs_idx
+
+N = 24
+RNG = np.random.default_rng(11)
+TRUTH = np.concatenate([[0.0], np.cumsum(RNG.normal(0, 0.1, N - 1))])
+PAIRS = sequential_pairs_idx(N, 3)
+TBASE = np.arange(N, dtype=np.float64)
+A, B = design_matrices(PAIRS, TBASE)
+Y = np.array([TRUTH[j] - TRUTH[i] for i, j in PAIRS])
+
+
+def test_design_matrix_shapes():
+    assert A.shape == (len(PAIRS), N - 1)
+    # every pair row sums to 0 unless it touches the reference date
+    touches_ref = np.array([i == 0 for i, _ in PAIRS])
+    sums = A.sum(axis=1)
+    assert np.allclose(sums[~touches_ref], 0)
+    assert np.allclose(sums[touches_ref], 1)
+
+
+def test_exact_recovery_noise_free():
+    ts = estimate_timeseries(A, Y)
+    np.testing.assert_allclose(ts, TRUTH - TRUTH[0], atol=1e-10)
+
+
+def test_batch_matches_scalar_and_quality():
+    noise = RNG.normal(0, 0.01, (len(PAIRS), 50))
+    Yb = Y[:, None] + noise
+    ts_b = estimate_timeseries_batch(A, Yb)
+    ts_0 = estimate_timeseries(A, Yb[:, 0])
+    np.testing.assert_allclose(ts_b[:, 0], ts_0, atol=1e-10)
+    q = network_temporal_coherence(A, ts_b[1:], Yb)
+    assert q.shape == (50,)
+    assert (q > 0.99).all()  # tiny residuals -> coherence near 1
+
+
+def test_weighted_solve_downweights_bad_rows():
+    Yn = Y.copy()
+    Yn[0] += 5.0  # gross outlier on one pair
+    w = np.ones(len(PAIRS))
+    w[0] = 1e-6
+    ts = estimate_timeseries(A, Yn, weight_sqrt=np.sqrt(w))
+    np.testing.assert_allclose(ts, TRUTH - TRUTH[0], atol=1e-3)
+
+
+def test_gappy_path_row_drop():
+    Yb = np.tile(Y[:, None], (1, 3))
+    mask = np.ones_like(Yb, dtype=bool)
+    mask[::7, 1] = False  # drop some obs for pixel 1
+    ts = estimate_timeseries_gappy(A, Yb, mask)
+    np.testing.assert_allclose(ts[:, 0], TRUTH - TRUTH[0], atol=1e-10)
+    np.testing.assert_allclose(ts[:, 1], TRUTH - TRUTH[0], atol=1e-8)
+
+
+def test_l1_robust_to_outliers():
+    Yn = Y.copy()
+    Yn[::10] += 2.0  # 10% gross outliers
+    x = invert_l1(A, Yn, alpha=0.001)
+    ts = np.concatenate([[0.0], x])
+    l2 = estimate_timeseries(A, Yn)
+    err_l1 = np.abs(ts - (TRUTH - TRUTH[0])).max()
+    err_l2 = np.abs(l2 - (TRUTH - TRUTH[0])).max()
+    assert err_l1 < err_l2  # L1 beats L2 under outliers
+    assert err_l1 < 0.25

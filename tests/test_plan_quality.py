@@ -1,0 +1,61 @@
+"""Plan-quality invariants: pushdown, pruning, broadcasts, exchange
+counts. These are the 100 TB design assertions — a plan that reads all
+columns for a 2-column projection or shuffles a dimension table is a
+regression even if results match."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from miaplpy_spark.config import EngineConfig, ScaleSpec
+from miaplpy_spark.datagen import generate_sequences, prepare_observations
+from miaplpy_spark.functions import relational
+from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+from miaplpy_spark.plans.explain import (
+    broadcast_join_count,
+    count_exchanges,
+    pushed_filters,
+    read_schema_width,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    pf = pushed_filters(q)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    rs = read_schema_width(q)
+    assert rs and all("l_extendedprice" not in l for l in rs), rs
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    q = relational.revenue_by_nation(spark, SF)
+    # customer, nation, region must broadcast (explicit hints)
+    assert broadcast_join_count(q) >= 3
+
+
+def test_cascade_pipeline_has_single_exchange_per_tier(spark):
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    spec = ScaleSpec(n_docs=2, n_slots=48, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    one = rollup_1h(obs, cfg)
+    # raw -> 1h: exactly one exchange (the bucket repartition)
+    assert count_exchanges(one) == 1
+    # in-pipeline 1d with partitioning reuse: still exactly one
+    both = rollup_1d(one, cfg, assume_partitioned=True)
+    assert count_exchanges(both) == 1
+    # storage-path 1d adds its own exchange, no more
+    assert count_exchanges(rollup_1d(one, cfg)) == 2
+
+
+def test_quality_mask_aggregates_before_filter(spark):
+    q = relational.quality_mask(spark, SF)
+    # HAVING on aggregate: one exchange for the groupBy, none extra
+    assert count_exchanges(q) == 1

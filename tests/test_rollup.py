@@ -34,8 +34,8 @@ def _oracle_window(g, cfg):
     """Reference semantics for ONE (doc, hour) window, scalar kernels."""
     T, S = cfg.slots_per_hour, cfg.n_samples
     sih = (g["slot"] % T).to_numpy()
-    z = (np.stack(g["z_re"].to_numpy()).astype(np.float32)
-         + 1j * np.stack(g["z_im"].to_numpy()).astype(np.float32))
+    zarr = np.stack(g["z"].to_numpy()).astype(np.float32)
+    z = zarr[:, :S] + 1j * zarr[:, S:]
     dense = np.zeros((1, T, S), dtype=np.complex64)
     present = np.zeros((1, T), dtype=bool)
     dense[0, sih] = z
@@ -64,8 +64,8 @@ def test_1h_matches_scalar_oracle(obs_pdf, tier1h, spark):
             np.exp(1j * got), np.exp(1j * ang), atol=2e-3,
             err_msg=f"linked phase mismatch doc={doc} hour={h}")
         assert abs(row["quality"] - q) < 2e-3
-        got_sq = (np.asarray(row["squeezed_re"], dtype=np.float32)
-                  + 1j * np.asarray(row["squeezed_im"], dtype=np.float32))
+        sq_packed = np.asarray(row["squeezed"], dtype=np.float32)
+        got_sq = sq_packed[:cfg.n_samples] + 1j * sq_packed[cfg.n_samples:]
         # squeeze in the engine divides by sqrt(T); oracle's
         # phase_linking_process uses the same convention
         np.testing.assert_allclose(got_sq, sq, atol=2e-3)
@@ -124,8 +124,9 @@ def test_datum_semantics_match_kernel(spark, tier1h):
     one = tier1h[tier1h["doc_id"] == tier1h["doc_id"].iloc[0]]
     one = one[one["hour_idx"] < cfg.hours_per_day].sort_values("hour_idx")
     assert len(one) == cfg.hours_per_day
-    sq = (np.stack(one["squeezed_re"].to_numpy())
-          + 1j * np.stack(one["squeezed_im"].to_numpy())).astype(np.complex64)
+    packed = np.stack(one["squeezed"].to_numpy()).astype(np.float32)
+    S = cfg.n_samples
+    sq = (packed[:, :S] + 1j * packed[:, S:]).astype(np.complex64)
     vec, _, q = pl.phase_linking_process(sq, 0, "EMI", False, 0)
     datum_oracle = np.angle(vec)
 
