@@ -34,7 +34,10 @@ class EngineConfig:
 
     # physical layout
     n_buckets: int = 64                # doc_id hash buckets = partition keys
-    salt_bits: int = 0                 # extra salt bits for skewed sources
+    salt_by_day: bool = False          # skew defusal: bucket on
+    # (doc_id, day) instead of doc_id alone, so a single giant doc
+    # spreads across partitions while every 1h/1d window's rows stay
+    # co-located (windows never span a day boundary)
     arrow_batch: int = 2048
 
     # datagen (FIXTURES.md F1)

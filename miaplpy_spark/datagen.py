@@ -98,8 +98,17 @@ def generate_sequences(
             ),
         )
 
+    # partition key: doc hash, optionally salted by day so hot docs
+    # split across partitions (north_rule skew defusal; every window's
+    # rows still share a bucket because windows never cross days)
+    if cfg.salt_by_day:
+        bucket_expr = F.xxhash64(
+            F.col("doc_id"),
+            (F.col("slot") / F.lit(cfg.slots_per_day)).cast("long"))
+    else:
+        bucket_expr = F.xxhash64(F.col("doc_id"))
     df = df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.n_buckets)).cast("int")
+        "bucket", F.pmod(bucket_expr, F.lit(cfg.n_buckets)).cast("int")
     )
     return df
 

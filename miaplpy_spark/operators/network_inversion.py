@@ -134,6 +134,8 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
         ]
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
+    # partition by doc_key (not bucket): the inversion groups WHOLE
+    # docs, and under salt_by_day a doc's hourly rows span buckets
     p = num_partitions or cfg.n_buckets
-    return (slim.repartition(p, "bucket")
+    return (slim.repartition(p, "doc_key")
                 .mapInArrow(kernel, INVERSION_SCHEMA))

@@ -39,13 +39,18 @@ def main(argv=None) -> int:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--scale", default="small", choices=sorted(SCALES))
     ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--salt-by-day", action="store_true",
+                    help="bucket on (doc_id, day): spreads hot docs")
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--iceberg", action="store_true")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("miaplpy_spark.cascade").getOrCreate()
-    cfg = EngineConfig(n_buckets=args.buckets) if args.buckets else EngineConfig()
+    kw = {"salt_by_day": args.salt_by_day}
+    if args.buckets:
+        kw["n_buckets"] = args.buckets
+    cfg = EngineConfig(**kw)
 
     if args.input:
         raw = spark.read.parquet(args.input)
