@@ -68,17 +68,28 @@ def run_cascade_timed(spark, input_dir: str) -> dict:
     tier counts. Host steal%% is sampled around the run."""
     import pyspark.sql.functions as F
 
+    from miaplpy_spark.operators.fused import rollup_cascade_fused
     from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
 
     cfg, _ = _bench_cfg_spec()
     obs = spark.read.parquet(input_dir)
     n_obs = obs.count()
-    df1d = rollup_1d(rollup_1h(obs, cfg), cfg, assume_partitioned=True)
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    if fused:
+        # single Python pass emitting both tiers (operators/fused.py)
+        df = rollup_cascade_fused(obs, cfg)
+        agg = (df.where(F.col("tier") == "1d")
+                 .agg(F.count("*").alias("n_1d"),
+                      F.sum("n_hours").alias("n_1h"),
+                      F.sum("n_obs").alias("n_obs")))
+    else:
+        df1d = rollup_1d(rollup_1h(obs, cfg), cfg, assume_partitioned=True)
+        agg = df1d.agg(F.count("*").alias("n_1d"),
+                       F.sum("n_hours").alias("n_1h"),
+                       F.sum("n_obs").alias("n_obs"))
     s0, t0_total = _steal_pct()
     t0 = time.time()
-    row = df1d.agg(F.count("*").alias("n_1d"),
-                   F.sum("n_hours").alias("n_1h"),
-                   F.sum("n_obs").alias("n_obs")).collect()[0]
+    row = agg.collect()[0]
     total = time.time() - t0
     s1, t1_total = _steal_pct()
     steal = 100.0 * (s1 - s0) / max(t1_total - t0_total, 1)
