@@ -131,9 +131,12 @@ def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> D
         # cycle when n_tok < S; element_at is 1-based
         return F.element_at(F.col("tokens"), (F.pmod(i, F.col("n_tok")) + 1).cast("int"))
 
-    # z is packed as ONE array<float> (re[0..S-1] ‖ im[0..S-1]): shuffle
-    # rows carry one array header instead of two — measured ~1.7x
-    # cheaper through exchange+sort than separate z_re/z_im columns.
+    # PHASE-ONLY transport: the per-slot ensemble entries are unit
+    # phasors by construction (z_k = exp(i·2π·tok_k/V)), so the row
+    # carries S angles, not 2S re/im floats — the dominant shuffle +
+    # worker-ingress payload halves; the kernel reconstitutes cos/sin
+    # in one vectorized NumPy call. (SURVEY §1.2: 'carry ... or pack
+    # phase-only'.)
     if "tokens" in df.columns:
         df = df.select(
             "doc_id", "slot", "ts", "source", "bucket", "n_tok",
@@ -141,14 +144,11 @@ def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> D
                         lambda a, t: a + t).alias("sum_tok"),
             F.array_min("tokens").alias("min_tok"),
             F.array_max("tokens").alias("max_tok"),
-            F.concat(
-                F.transform(idx, lambda i: F.cos(tok_at(i) * two_pi / V)
-                            .cast("float")),
-                F.transform(idx, lambda i: F.sin(tok_at(i) * two_pi / V)
-                            .cast("float"))).alias("z"),
+            F.transform(idx, lambda i: (tok_at(i) * two_pi / V)
+                        .cast("float")).alias("zphi"),
         )
     else:
-        # stats-only generation path: synthesize the phasor directly
+        # stats-only generation path: synthesize the phases directly
         # from hashes (same distribution, no token materialization)
         ph = lambda i: (F.pmod(
             F.xxhash64(F.lit("tok"), F.col("doc_id"), F.col("slot"), i),
@@ -158,8 +158,6 @@ def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> D
             (F.col("n_tok").cast("long") * F.lit((cfg.vocab_size - 1) // 2)).alias("sum_tok"),
             F.lit(0).alias("min_tok"),
             F.lit(cfg.vocab_size - 1).alias("max_tok"),
-            F.concat(
-                F.transform(idx, lambda i: F.cos(ph(i)).cast("float")),
-                F.transform(idx, lambda i: F.sin(ph(i)).cast("float"))).alias("z"),
+            F.transform(idx, lambda i: ph(i).cast("float")).alias("zphi"),
         )
     return df

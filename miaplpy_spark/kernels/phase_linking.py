@@ -233,7 +233,13 @@ def phase_linking_process(ccg_sample: np.ndarray, step: int, method: str,
     if method in ("EMI", "sequential_EMI", "PTA", "sequential_PTA", "SBW"):
         status, abscoh = regularize_matrix(np.abs(coh_mat))
         if status == 0:
-            vec = emi_phase(coh_mat, abscoh)
+            try:
+                vec = emi_phase(coh_mat, abscoh)
+            except np.linalg.LinAlgError:
+                # passed the Cholesky probe but singular to float64
+                # inv — same EVD downgrade as the reference's fallback
+                # chain (lib/utils.pyx:538-551)
+                vec = evd_phase(coh_mat)
         else:
             vec = evd_phase(coh_mat)
     else:

@@ -52,7 +52,7 @@ def make_fused_kernel(cfg: EngineConfig):
     out_schema = _pa_schema(FUSED_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
-    list_cols = {"z": 2 * S}
+    list_cols = {"zphi": S}
 
     nulls = lambda typ, n: pa.nulls(n, _pa_type(typ))
 
@@ -73,8 +73,10 @@ def make_fused_kernel(cfg: EngineConfig):
         G = starts.shape[0]
         gid = np.cumsum(np.concatenate(
             [[True], (doc_key[1:] != doc_key[:-1]) | (hour[1:] != hour[:-1])])) - 1
-        zarr = num["z"]
-        z = zarr[:, :S] + 1j * zarr[:, S:]
+        phi = num["zphi"]
+        z = np.empty(phi.shape, dtype=np.complex64)
+        np.cos(phi, out=z.real)
+        np.sin(phi, out=z.imag)
         dense = np.zeros((G, T, S), dtype=np.complex64)
         present = np.zeros((G, T), dtype=bool)
         dense[gid, sih] = z

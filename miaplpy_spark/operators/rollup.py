@@ -221,7 +221,7 @@ def make_rollup_1h_kernel(cfg: EngineConfig):
     out_schema = _pa_schema(ROLLUP_1H_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
-    list_cols = {"z": 2 * S}
+    list_cols = {"zphi": S}
 
     def process(num: dict, lookup) -> pa.RecordBatch:
         n = num["doc_key"].shape[0]
@@ -234,8 +234,13 @@ def make_rollup_1h_kernel(cfg: EngineConfig):
         gid = np.cumsum(np.concatenate(
             [[True], (doc_key[1:] != doc_key[:-1]) | (hour[1:] != hour[:-1])])) - 1
 
-        zarr = num["z"]
-        z = zarr[:, :S] + 1j * zarr[:, S:]
+        # reconstitute unit phasors from the phase-only transport —
+        # float32 cos/sin into a preallocated complex64 (np.exp(1j*x)
+        # would silently run in complex128)
+        phi = num["zphi"]
+        z = np.empty(phi.shape, dtype=np.complex64)
+        np.cos(phi, out=z.real)
+        np.sin(phi, out=z.imag)
 
         dense = np.zeros((G, T, S), dtype=np.complex64)
         present = np.zeros((G, T), dtype=bool)

