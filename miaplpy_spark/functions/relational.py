@@ -43,7 +43,11 @@ def tier_rollup_1d(spark, sf_dir) -> DataFrame:
                       F.date_trunc("day", "hour_ts").alias("day_ts"))
              .agg(F.sum("n").alias("n_events"),
                   F.round(F.sum("s"), 4).alias("sum_value"),
-                  F.round(F.sum("s") / F.sum("n"), 6).alias("avg_value"),
+                  # derive the average from the ALREADY-ROUNDED sum so the
+                  # 6-dp rounding is deterministic across engines (double
+                  # summation order differs between Spark and the oracle;
+                  # an unrounded quotient can land on a half-ulp boundary)
+                  F.round(F.round(F.sum("s"), 4) / F.sum("n"), 6).alias("avg_value"),
                   F.count("*").alias("n_hours")))
 
 
