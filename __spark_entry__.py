@@ -146,8 +146,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q26_sql(n_perm: int = 32, bands: int = 8, k: int = 3,
+             threshold: float = 0.35) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: same md5-affine hash
+    family, same banding, same signature-Jaccard verify."""
+    rpb = n_perm // bands
+    mins = ", ".join(
+        f"min(h1 + {p + 1} * h2) AS m{p}" for p in range(n_perm))
+    sig_list = ", ".join(f"m{p}" for p in range(n_perm))
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(ws) - {k - 2}),
+                             i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS sh
+               FROM d),
+        hs AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+                      CAST(('0x' || substr(md5(sh || '#'), 1, 13)) AS BIGINT) AS h2
+               FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM hs GROUP BY 1),
+        sigl AS (SELECT doc_id, [{sig_list}] AS sig FROM sig),
+        banded AS (SELECT doc_id, sig, b.band,
+                          md5(b.band || ',' ||
+                              array_to_string(sig[b.band*{rpb}+1 : b.band*{rpb}+{rpb}], ','))
+                              AS bucket
+                   FROM sigl CROSS JOIN range({bands}) b(band)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM banded a JOIN banded b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id),
+        est AS (SELECT doc1, doc2,
+                       round(list_sum(list_transform(range(1, {n_perm + 1}),
+                             i -> CASE WHEN s1.sig[i] = s2.sig[i]
+                                       THEN 1 ELSE 0 END)) / {n_perm}.0, 6)
+                           AS est_jaccard
+                FROM cand JOIN sigl s1 ON doc1 = s1.doc_id
+                          JOIN sigl s2 ON doc2 = s2.doc_id)
+        SELECT doc1, doc2, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+def _q27_sql(nbits: int = 48, max_hamming: int = 12) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs."""
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(nbits))
+    pack = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(nbits))
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+              FROM w),
+        v AS (SELECT doc_id, {sums} FROM h GROUP BY 1),
+        s AS (SELECT doc_id, {pack} AS simhash FROM v),
+        b AS (SELECT doc_id, simhash, simhash >> {nbits - 16} AS blk FROM s)
+        SELECT a.doc_id AS doc1, b2.doc_id AS doc2,
+               CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+        FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.simhash, b2.simhash)) <= {max_hamming}
+    """
+
+
+def _q28_sql(n_queries: int = 20, k: int = 5, n_planes: int = 8,
+             dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_ann_topk: identical literal plane
+    signs (md5-derived, computed by similarity.plane_signs)."""
+    from miaplpy_spark.functions.similarity import plane_signs
+    signs = plane_signs(n_planes, dim)
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[j])
+        + f"]) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(n_planes))
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(n_planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        probes AS (SELECT vec_id AS qid, v AS qv,
+                          unnest([bucket, {flips}]) AS bucket
+                   FROM bk WHERE vec_id < {n_queries}),
+        cand AS (SELECT DISTINCT p.qid, p.qv, c.vec_id AS nid, c.v AS nv
+                 FROM probes p JOIN bk c
+                      ON p.bucket = c.bucket AND p.qid <> c.vec_id),
+        p2 AS (SELECT qid, nid,
+                      round(list_dot_product(qv, nv) /
+                            (sqrt(list_dot_product(qv, qv)) *
+                             sqrt(list_dot_product(nv, nv))), 4) AS sim
+               FROM cand),
+        r AS (SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, nid) AS rk FROM p2)
+        SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q26_minhash_lsh": _q26_sql(),
+        "q27_simhash_pairs": _q27_sql(),
+        "q28_lsh_ann": _q28_sql(),
         "q01_tier_rollup_1h": """
             SELECT event_type, date_trunc('hour', ts) AS hour_ts,
                    count(*) AS n_events,

@@ -1,13 +1,22 @@
 """Near-duplicate detection operators: MinHash+LSH and SimHash.
 
-All JVM-side (hash functions + explodes + groupBy) — no Python UDFs,
-so these plans scale to the full corpus: the only shuffles are the
-per-doc signature aggregations and the band-bucket self-join, and the
-band join only ever materializes docs that share a bucket.
+All JVM-side (hash functions + groupBy) — no Python UDFs, so these
+plans scale to the full corpus: the only shuffles are the per-doc
+signature aggregations and the band-bucket self-join, and the band
+join only ever materializes docs that share a bucket.
 
-At 100 TB: `minhash_lsh_pairs` is the scale path for what
-`text.shingle_jaccard_pairs` computes exactly — bands bound the
-candidate set, the exact Jaccard verify runs only on candidates.
+Design notes for 100 TB:
+- NO pre-shuffle row explosion: the MinHash permutations are computed
+  as one array expression per shingle row (not shingles x n_perm
+  exploded rows), and the SimHash per-bit votes are nbits aggregate
+  expressions over the word rows (not words x nbits exploded rows).
+  The first exchange carries exactly one row per shingle/word.
+- Hashes are md5-derived (``conv(substr(md5(x),1,15),16,10)``), which
+  every ANSI engine can compute bit-identically — the DuckDB oracles
+  in __spark_entry__ verify these operators end-to-end, not rows-only.
+- `minhash_lsh_pairs` is the scale path for what
+  `text.shingle_jaccard_pairs` computes exactly — bands bound the
+  candidate set, the signature-Jaccard verify runs only on candidates.
 """
 
 from __future__ import annotations
@@ -17,49 +26,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .text import shingles
 
-MERSENNE = (1 << 61) - 1
+SIMHASH_BITS = 48  # one 12-hex-char md5 chunk = an exact 48-bit integer
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _h60(col) -> F.Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, n_perm: int = 32, k: int = 3) -> DataFrame:
     """(doc_id, sig array<long>[n_perm]): minimum of a keyed hash per
-    permutation over the doc's shingle set."""
+    permutation over the doc's shingle set.
+
+    One row per shingle through the exchange: the n_perm permutation
+    hashes come from the classic affine family h_p = h1 + (p+1)·h2
+    (two md5 evaluations per shingle, not n_perm), and the
+    per-permutation minima are n_perm ``min`` aggregate expressions —
+    map-side partial aggregation applies, so the shuffle carries one
+    signature-width row per (doc, partition), never shingles x n_perm
+    rows. h1 is 60-bit and h2 52-bit so h1 + 32·h2 < 2^62 (no ANSI
+    overflow)."""
     sh = shingles(df, k)
-    perms = sh.select(
-        "doc_id", "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm"))
-    mins = (perms
-            .select("doc_id", "perm",
-                    F.pmod(F.xxhash64("sh", "perm"), F.lit(MERSENNE)).alias("h"))
-            .groupBy("doc_id", "perm").agg(F.min("h").alias("mh")))
-    return (mins.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
-            .select("doc_id",
-                    F.transform("s", lambda x: x["mh"]).alias("sig")))
+    hs = sh.select(
+        "doc_id",
+        _h60(F.col("sh")).alias("h1"),
+        F.conv(F.substring(F.md5(F.concat(F.col("sh"), F.lit("#"))), 1, 13),
+               16, 10).cast("long").alias("h2"))
+    mins = hs.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + F.lit(p + 1) * F.col("h2")).alias(f"m{p}")
+          for p in range(n_perm)])
+    return mins.select(
+        "doc_id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
 
 
 def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
                       k: int = 3, verify_threshold: float = 0.35) -> DataFrame:
-    """LSH candidate generation + exact-Jaccard verification.
+    """LSH candidate generation + signature-Jaccard verification.
 
     bands x rows_per_band = n_perm; docs agreeing on ALL rows of any
-    band become candidates; candidates are verified against the true
-    shingle Jaccard (estimated here from the full signature, which is
-    itself an unbiased estimator of Jaccard)."""
+    band become candidates; candidates are verified against the
+    signature Jaccard (an unbiased estimator of the true shingle
+    Jaccard)."""
     d = _docs(spark, sf_dir)
     sig = minhash_signatures(d, n_perm, k)
-    rows_per_band = n_perm // bands
+    rpb = n_perm // bands
     banded = sig.select(
         "doc_id", "sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    # bucket key: md5 of "band,m_i,m_i+1,..." — engine-portable string
     banded = banded.select(
         "doc_id", "sig", "band",
-        F.xxhash64(F.col("band"),
-                   F.slice("sig", F.col("band") * rows_per_band + 1,
-                           rows_per_band).cast("string")).alias("bucket"))
+        F.md5(F.concat_ws(
+            ",", F.col("band").cast("string"),
+            F.array_join(F.transform(
+                F.slice("sig", F.col("band") * rpb + 1, rpb),
+                lambda x: x.cast("string")), ","))).alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -71,48 +96,48 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
             .distinct())
     est = cand.select(
         "doc1", "doc2",
-        (F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
-                         lambda v: v)) / F.lit(n_perm)).alias("est_jaccard"))
+        F.round(
+            F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                            lambda v: v)) / F.lit(n_perm), 6
+        ).alias("est_jaccard"))
     return est.where(F.col("est_jaccard") >= verify_threshold)
 
 
-def simhash(df: DataFrame, nbits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from word hashes: per bit, sign of the
-    ±1 vote sum over words; all columnar (explode words x bits)."""
+def simhash(df: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:
+    """nbits-wide SimHash per doc from word hashes: per bit, sign of
+    the ±1 vote sum over words.
+
+    No bit explode: the per-bit votes are nbits aggregate expressions
+    over the word rows (one row per word through the exchange, with
+    map-side partial aggregation), then one packing expression."""
     words = df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hashed = words.select("doc_id", F.xxhash64("w").alias("h"))
-    bits = hashed.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("b"))
-    votes = bits.select(
-        "doc_id", "b",
-        # SQL shiftright accepts a column bit count; the Python wrapper
-        # only takes a literal
-        (F.expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).alias("v"))
-    per_bit = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    # shiftleft needs a literal bit count; pow(2, b) is exact for b<53
-    # and bit 63 is split out to avoid long overflow
-    pow2 = F.when(F.col("b") < 63,
-                  F.pow(F.lit(2.0), F.col("b")).cast("long")) \
-            .otherwise(F.lit(-(2**63)))
-    return (per_bit.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("s") > 0, pow2)
-                       .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum((F.shiftright("h", j).bitwiseAND(F.lit(1))) * 2 - 1)
+          .alias(f"s{j}") for j in range(nbits)])
+    packed = None
+    for j in range(nbits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return votes.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance, blocked on the top
     16 bits (the standard rotate-and-block trick collapsed to one
-    block at sandbox scale; at 100 TB use 4 rotations x 16-bit
+    block at sandbox scale; at 100 TB use 3 rotations x 16-bit
     blocks)."""
     d = _docs(spark, sf_dir)
     s = simhash(d).withColumn(
-        "blk", F.shiftrightunsigned("simhash", 48))
+        "blk", F.shiftrightunsigned("simhash", SIMHASH_BITS - 16))
     a, b = s.alias("a"), s.alias("b")
     return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"),
                     F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                    .alias("hamming"))
+                    .cast("long").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))

@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -69,31 +71,40 @@ def cosine_near_dup_pairs(spark, sf_dir, threshold: float = 0.95) -> DataFrame:
             .where(F.col("sim") >= threshold))
 
 
+def plane_signs(n_planes: int = 12, dim: int = 64,
+                seed: str = "lsh42") -> list[list[float]]:
+    """Deterministic ±1 hyperplane signs from md5 — driver-computed
+    once (a few KB), embedded as literal arrays in the plan (a
+    broadcast constant at any scale). md5 keeps the oracle engine
+    bit-identical."""
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:15], 16) % 2 == 1 else -1.0)
+        out.append(row)
+    return out
+
+
 def lsh_buckets(df: DataFrame, n_planes: int = 12, dim: int = 64,
                 seed: str = "lsh42") -> DataFrame:
-    """Random-hyperplane signature, hash-derived ±1 planes — fully
-    deterministic and computed without materializing plane vectors:
-    bucket bit j = sign(Σ_d emb[d]·s(j,d)), s = ±1 from xxhash64."""
-    comp = df.select(
-        "vec_id", "label",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
-        F.col("embedding"))
-    comp = comp.select(
-        "vec_id", "label", "j",
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda d: (F.pmod(F.xxhash64(F.lit(seed), F.col("j"), d),
-                                              F.lit(2)) * 2 - 1).cast("double")),
-                lambda x, s: x.cast("double") * s),
-            F.lit(0.0), lambda acc, x: acc + x).alias("proj"))
-    bits = comp.select(
-        "vec_id", "label",
-        F.when(F.col("proj") > 0,
-               F.pow(F.lit(2.0), F.col("j")).cast("long"))
-        .otherwise(F.lit(0).cast("long")).alias("bit"))
-    return bits.groupBy("vec_id", "label").agg(F.sum("bit").alias("bucket"))
+    """Random-hyperplane signature: bucket bit j = sign(emb · s_j),
+    s_j the hash-derived ±1 plane. No explode and no extra shuffle —
+    the bucket is ONE projection expression per row (n_planes dot
+    products against literal sign arrays, whole-stage codegen)."""
+    signs = plane_signs(n_planes, dim, seed)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(emb, F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(proj > 0, F.lit(1 << j).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select("vec_id", "label", bucket.alias("bucket"))
 
 
 def lsh_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
