@@ -149,9 +149,12 @@ def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> D
         )
     else:
         # stats-only generation path: synthesize the phases directly
-        # from hashes (same distribution, no token materialization)
+        # from hashes (same distribution, no token materialization);
+        # seed-tagged exactly like the token path so both paths stay
+        # consistent under cfg.seed
         ph = lambda i: (F.pmod(
-            F.xxhash64(F.lit("tok"), F.col("doc_id"), F.col("slot"), i),
+            F.xxhash64(F.lit("tok" + str(cfg.seed)), F.col("doc_id"),
+                       F.col("slot"), i),
             F.lit(V)) * two_pi / V)
         df = df.select(
             "doc_id", "slot", "ts", "source", "bucket", "n_tok",

@@ -34,10 +34,18 @@ def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
     n = pts.shape[0]
     if n < 3:
         return []
-    # jitter exact duplicates deterministically so the incremental
-    # insert stays well-defined
-    _, first = np.unique(pts.round(12), axis=0, return_index=True)
+    # exact duplicates make the circumcircle test degenerate: jitter
+    # every repeated point in place by an index-derived offset
+    # (deterministic, and triangle indices keep referring to the
+    # original rows)
     span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0)
+    _, first_idx, inv = np.unique(pts.round(12), axis=0,
+                                  return_index=True, return_inverse=True)
+    dup = np.flatnonzero(first_idx[inv] != np.arange(n))
+    if dup.size:
+        eps = 1e-9 * span
+        pts[dup, 0] += eps * (dup + 1)
+        pts[dup, 1] += eps * ((dup + 1) % 7 + 1)
     mid = pts.mean(axis=0)
     super_pts = np.array([
         mid + [-20 * span, -10 * span],

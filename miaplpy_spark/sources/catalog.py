@@ -47,22 +47,28 @@ class TierStore:
         return spark.read.parquet(self.path(table))
 
     def merge_partitions(self, df: DataFrame, table: str,
-                         partition_col: str = "bucket") -> None:
+                         partition_col: str | list[str] = "bucket") -> None:
         """Replace exactly the partitions present in ``df`` (MERGE-like).
 
         Iceberg: ``writeTo(t).overwritePartitions()`` — atomic snapshot
         commit. Parquet fallback: dynamic partition overwrite — only
-        the bucket directories present in df are rewritten.
+        the partition directories present in df are rewritten. The
+        overwrite mode is set PER WRITE so MERGE semantics never depend
+        on how the session was constructed (a static-mode session
+        default would silently turn this into drop-whole-table).
         """
+        cols = ([partition_col] if isinstance(partition_col, str)
+                else list(partition_col))
         if self.use_iceberg:
             (df.writeTo(f"{self.namespace}.{table}")
-               .partitionedBy(partition_col)
+               .partitionedBy(*cols)
                .createOrReplace()
              if not self.exists(df.sparkSession, table)
              else df.writeTo(f"{self.namespace}.{table}").overwritePartitions())
             return
         (df.write.mode("overwrite")
-           .partitionBy(partition_col)
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy(*cols)
            .parquet(self.path(table)))
 
     def append(self, df: DataFrame, table: str) -> None:

@@ -43,22 +43,48 @@ def stream_slot_counts(stream_df: DataFrame, cfg: EngineConfig = EngineConfig(),
                     "n_obs", "sum_ntok", "mean_ntok"))
 
 
+STAGING_TABLE = "stream_staging"
+STREAM_TIER = "rollup_1h_stream"
+
+
 def stream_rollup_1h(stream_df: DataFrame, store: TierStore,
                      cfg: EngineConfig = EngineConfig(),
                      checkpoint_dir: str | None = None,
                      trigger_seconds: int = 10):
-    """Drive the batch 1h kernel per micro-batch via foreachBatch.
+    """Drive the batch 1h kernel per micro-batch via foreachBatch,
+    with continuous-aggregate invalidation semantics:
 
-    Each micro-batch holds complete closed windows (the upstream
-    source emits whole slots); the kernel output is MERGEd per bucket,
-    so retried micro-batches are idempotent. Returns the started
-    StreamingQuery."""
+    1. append the micro-batch's raw rows (tagged with batch_id) to a
+       staging table;
+    2. recompute ONLY the hours touched by this micro-batch, from the
+       FULL staged rows of those hours (so an hour whose slots span
+       micro-batches converges to the complete rollup — a per-batch
+       overwrite would erase the earlier slots' contribution);
+    3. MERGE the recomputed hours at (bucket, hour_idx) granularity —
+       overwrite granularity matches the window, so untouched hours
+       from prior micro-batches are never rewritten.
+
+    Replayed micro-batches (restart after a failed commit) double-
+    append to staging; the recompute dedups on (doc_id, slot), so the
+    tier output is idempotent. Returns the started StreamingQuery."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = rollup_1h(batch_df, cfg)
-        store.merge_partitions(out, "rollup_1h_stream")
+        spark = batch_df.sparkSession
+        store.append(batch_df.withColumn("batch_id", F.lit(batch_id)),
+                     STAGING_TABLE)
+        hour_of = lambda c: (c / cfg.slots_per_hour).cast("int")
+        touched = (batch_df.select(hour_of(F.col("slot")).alias("t_hour"))
+                   .distinct())
+        staged = store.read(spark, STAGING_TABLE)
+        rows = (staged.join(F.broadcast(touched),
+                            hour_of(staged["slot"]) == touched["t_hour"])
+                .drop("t_hour", "batch_id")
+                .dropDuplicates(["doc_id", "slot"]))
+        out = rollup_1h(rows, cfg)
+        store.merge_partitions(out, STREAM_TIER,
+                               partition_col=["bucket", "hour_idx"])
 
     writer = (stream_df.writeStream
               .foreachBatch(process_batch)

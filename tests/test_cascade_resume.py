@@ -22,20 +22,35 @@ SPEC = ScaleSpec(n_docs=6, n_slots=480, tok_lo=16, tok_hi=48,
                  tok_heavy_lo=96, tok_heavy_hi=128)
 
 
-def _table_fingerprint(spark, store, table):
+def _snapshot(spark, store, table):
+    """Scalar columns of a tier table as a key-sorted pandas frame."""
     df = store.read(spark, table)
     cols = [c for c, t in df.dtypes if not t.startswith("array")
             and t != "timestamp"]
-    arr = [c for c, t in df.dtypes if t.startswith("array<float")]
-    # float32 qualities carry ~1e-7 jitter from batch-shape-dependent
-    # BLAS summation order (same per-group math, different einsum
-    # blocking when a recovery batch holds fewer groups) — round to 4
-    # decimals so the fingerprint tests semantics, not ulps
-    expr = F.xxhash64(*[F.round(F.col(c).cast("double"), 4).cast("string")
-                        if c in ("mean_ntok", "quality", "mean_quality_1h",
-                                 "quality_1d") else F.col(c)
-                        for c in cols])
-    return df.select(F.sum(F.pmod(expr, F.lit(10**9)))).collect()[0][0], df.count()
+    pdf = df.select(*cols).toPandas()
+    keys = [c for c in ("doc_id", "hour_idx", "day_idx", "bucket")
+            if c in pdf.columns]
+    return pdf.sort_values(keys).reset_index(drop=True)
+
+
+def _assert_snapshots_match(got, exp):
+    """Tolerance-based table comparison: exact on ints/strings, atol on
+    floats — float32 qualities carry ~1e-7 jitter from batch-shape-
+    dependent BLAS summation order (same per-group math, different
+    einsum blocking when a recovery batch holds fewer groups), and a
+    rounded-then-hashed fingerprint would still flip on values near a
+    rounding boundary."""
+    import numpy as np
+    import pandas as pd
+    assert len(got) == len(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            assert np.allclose(got[c].to_numpy(np.float64),
+                               exp[c].to_numpy(np.float64),
+                               atol=1e-4, equal_nan=True), c
+        else:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
 
 
 @pytest.fixture(scope="module")
@@ -47,20 +62,20 @@ def test_full_run_then_noop_resume(spark, obs, workdir):
     store = TierStore(workdir)
     m1 = run_cascade(spark, obs, store, CFG)
     assert m1["raw->1h"]["buckets_processed"] > 0
-    fp1 = _table_fingerprint(spark, store, "rollup_1h")
+    fp1 = _snapshot(spark, store, "rollup_1h")
     # second run: everything checkpointed -> nothing recomputed
     m2 = run_cascade(spark, obs, store, CFG)
     assert m2["raw->1h"]["buckets_processed"] == 0
     assert m2["raw->1h"]["buckets_skipped"] == m1["raw->1h"]["buckets_processed"]
     assert m2["1h->1d"]["buckets_processed"] == 0
-    assert _table_fingerprint(spark, store, "rollup_1h") == fp1
+    _assert_snapshots_match(_snapshot(spark, store, "rollup_1h"), fp1)
 
 
 def test_lost_checkpoints_recompute_only_lost_buckets(spark, obs, workdir):
     store = TierStore(workdir)
     run_cascade(spark, obs, store, CFG)
-    fp_1h = _table_fingerprint(spark, store, "rollup_1h")
-    fp_1d = _table_fingerprint(spark, store, "rollup_1d")
+    fp_1h = _snapshot(spark, store, "rollup_1h")
+    fp_1d = _snapshot(spark, store, "rollup_1d")
 
     # deterministically lose the checkpoint rows of bucket 0 (both tiers)
     ck = store.read(spark, "checkpoints").where(F.col("partition_key") != 0)
@@ -85,8 +100,8 @@ def test_lost_checkpoints_recompute_only_lost_buckets(spark, obs, workdir):
         assert os.path.getmtime(os.path.join(store.path("rollup_1h"), p)) == t
 
     # final tables identical to the uninterrupted run
-    assert _table_fingerprint(spark, store, "rollup_1h") == fp_1h
-    assert _table_fingerprint(spark, store, "rollup_1d") == fp_1d
+    _assert_snapshots_match(_snapshot(spark, store, "rollup_1h"), fp_1h)
+    _assert_snapshots_match(_snapshot(spark, store, "rollup_1d"), fp_1d)
 
 
 def test_config_change_invalidates_checkpoints(spark, obs, workdir):

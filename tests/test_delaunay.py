@@ -69,3 +69,19 @@ def test_degenerate_inputs():
     # collinear points: no valid triangles, must not crash
     pts = np.column_stack([np.arange(5.0), np.arange(5.0)])
     delaunay_triangles(pts)
+
+
+def test_duplicate_points_are_jittered():
+    """Exact duplicates must not degenerate the circumcircle test; all
+    returned indices refer to original rows."""
+    import numpy as np
+
+    from miaplpy_spark.kernels.delaunay import delaunay_triangles
+
+    pts = np.array([[0, 0], [1, 0], [0, 1], [1, 1],
+                    [0, 0], [1, 1], [0.5, 0.5], [0.5, 0.5]], dtype=float)
+    tris = delaunay_triangles(pts)
+    assert len(tris) >= 4
+    assert all(max(t) < len(pts) for t in tris)
+    # deterministic across calls
+    assert tris == delaunay_triangles(pts.copy())

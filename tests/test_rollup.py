@@ -158,3 +158,28 @@ def test_raw_tokens_unchanged_by_pipeline(spark):
     obs = prepare_observations(raw, CFG)
     rollup_1h(obs, CFG).count()  # run the pipeline
     assert chk(generate_sequences(spark, SPEC, CFG)) == before
+
+
+def test_stats_only_datagen_matches_token_path(spark):
+    """The with_tokens=False bench path must emit the SAME phases as
+    the token-materializing path for any seed (both derive from the
+    'tok'+seed hash tag) whenever n_tok >= S (no cycling)."""
+    from miaplpy_spark.config import EngineConfig, ScaleSpec
+    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+
+    cfg = EngineConfig(n_buckets=2, n_samples=8, seed=7)
+    spec = ScaleSpec(n_docs=2, n_slots=20, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    a = prepare_observations(
+        generate_sequences(spark, spec, cfg, with_tokens=True), cfg)
+    b = prepare_observations(
+        generate_sequences(spark, spec, cfg, with_tokens=False), cfg)
+    pa = a.select("doc_id", "slot", "zphi").toPandas().sort_values(
+        ["doc_id", "slot"]).reset_index(drop=True)
+    pb = b.select("doc_id", "slot", "zphi").toPandas().sort_values(
+        ["doc_id", "slot"]).reset_index(drop=True)
+    assert (pa["doc_id"] == pb["doc_id"]).all()
+    import numpy as np
+    za = np.stack(pa["zphi"].to_numpy())
+    zb = np.stack(pb["zphi"].to_numpy())
+    assert np.array_equal(za, zb)

@@ -72,5 +72,48 @@ def test_stream_rollup_foreachbatch(spark, slices, workdir):
         # slots 0..19 -> hours 0,1 per doc
         assert out.count() == 3 * 2
         assert set(r["hour_idx"] for r in out.select("hour_idx").collect()) == {0, 1}
+        # second micro-batch (slots 20-39) must EXTEND the tier, not
+        # erase the first micro-batch's hours in the same buckets
+        second.write.parquet(os.path.join(src, "slice=1"))
+        q.processAllAvailable()
+        out = store.read(spark, "rollup_1h_stream")
+        assert out.count() == 3 * 4
+        assert (set(r["hour_idx"] for r in out.select("hour_idx").collect())
+                == {0, 1, 2, 3})
     finally:
         q.stop()
+
+
+def test_stream_rollup_hour_spanning_micro_batches(spark, workdir):
+    """An hour whose slots arrive across several micro-batches must
+    converge to the same rollup as the batch kernel over the full
+    input (the touched-hour recompute path)."""
+    raw = generate_sequences(spark, SPEC, CFG).cache()
+    src = os.path.join(workdir, "arrivals2")
+    os.makedirs(src)
+    # split MID-hour: slots 0-14 then 15-39 (hour 1 spans both batches)
+    raw.where(F.col("slot") < 15).write.parquet(os.path.join(src, "s=0"))
+    schema = raw.schema
+    store = TierStore(os.path.join(workdir, "tiers2"))
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/s=*"))
+    q = stream_rollup_1h(prepare_observations(stream, CFG), store, CFG,
+                         checkpoint_dir=os.path.join(workdir, "ckpt2"),
+                         trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+        raw.where(F.col("slot") >= 15).write.parquet(os.path.join(src, "s=1"))
+        q.processAllAvailable()
+        got = {(r["doc_id"], r["hour_idx"]): (r["n_obs"], r["sum_tok"])
+               for r in store.read(spark, "rollup_1h_stream")
+               .select("doc_id", "hour_idx", "n_obs", "sum_tok").collect()}
+    finally:
+        q.stop()
+    from miaplpy_spark.operators.rollup import rollup_1h
+    exp = {(r["doc_id"], r["hour_idx"]): (r["n_obs"], r["sum_tok"])
+           for r in rollup_1h(prepare_observations(raw, CFG), CFG)
+           .select("doc_id", "hour_idx", "n_obs", "sum_tok").collect()}
+    raw.unpersist()
+    assert got == exp
