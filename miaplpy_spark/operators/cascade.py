@@ -21,6 +21,7 @@ import json
 from dataclasses import asdict
 
 import pyspark.sql.functions as F
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import EngineConfig
@@ -29,6 +30,22 @@ from .checkpoint import CheckpointLog
 from .rollup import rollup_1d, rollup_1h
 
 TIER_1H, TIER_1D = "rollup_1h", "rollup_1d"
+
+
+class _BucketCountParam(AccumulatorParam):
+    """dict[bucket -> rows] accumulator: per-bucket rows-processed
+    metrics collected DURING the tier write job, replacing the previous
+    post-write re-scan of the whole committed tier (which doubled tier
+    I/O at scale). Metrics only — a retried task may double-count; the
+    Iceberg deployment reads snapshot summary metrics instead."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
 
 
 def lineage_hash(cfg: EngineConfig, tier: str, input_id: str) -> str:
@@ -58,18 +75,13 @@ def _run_tier(
     else:
         n_done = 0
 
-    out = rollup_fn(inp, cfg)
+    acc = spark.sparkContext.accumulator({}, _BucketCountParam())
+    out = rollup_fn(inp, cfg, counts_acc=acc)
     store.merge_partitions(out, tier, partition_col="bucket")
 
-    # rows-processed metrics per bucket, read back from the committed
-    # table (cheap: tier tables are orders of magnitude smaller than raw)
-    written = store.read(spark, tier)
-    if n_done:
-        written = written.join(F.broadcast(done),
-                               written["bucket"] == done["partition_key"],
-                               "left_anti")
-    counts = [(r["bucket"], r["cnt"]) for r in
-              written.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()]
+    # rows-processed metrics per bucket come from the accumulator the
+    # write job itself populated — no second scan of the committed tier
+    counts = sorted(acc.value.items())
     ckpt.log_completion(spark, tier, lineage, counts)
     return {
         "tier": tier,
@@ -102,6 +114,26 @@ def run_cascade(
 
 
 WATERMARK_TABLE = "tier_watermarks"
+
+
+def incremental_raw_filter(raw_obs: DataFrame, boundary_h: int,
+                           cfg: EngineConfig) -> DataFrame:
+    """Rows at/after the watermark hour, expressed so the scan prunes.
+
+    The ts >= predicate comes FIRST: the sequences table is partitioned
+    by (bucket, days(ts)) (sources/sequences.py DDL) and ts is monotone
+    in slot (ts = epoch0 + slot*slot_seconds), so a plain comparison on
+    ts reaches the scan as a partition-pruning / parquet min-max
+    predicate — the previous (slot/H).cast(int) expression full-scanned
+    raw at 100 TB. The slot predicate stays as the exact window
+    boundary; both select identical rows by construction."""
+    out = raw_obs
+    if "ts" in raw_obs.columns:
+        boundary_ts = cfg.epoch0 + boundary_h * cfg.hour_seconds
+        out = out.where(
+            F.col("ts") >= F.timestamp_seconds(F.lit(boundary_ts)))
+    return out.where(
+        (F.col("slot") / cfg.slots_per_hour).cast("int") >= boundary_h)
 
 
 def _read_watermark(spark: SparkSession, store: TierStore, tier: str) -> int:
@@ -138,13 +170,12 @@ def run_cascade_incremental(
     this is literally `MERGE INTO tier ... WHEN MATCHED ... ON
     hour_idx >= boundary`; the parquet fallback composes the union and
     overwrites partitions."""
-    H = cfg.slots_per_hour
     out = {}
 
     # raw -> 1h
     wm_h = _read_watermark(spark, store, TIER_1H)
     boundary_h = max(wm_h, 0)
-    new_obs = raw_obs.where((F.col("slot") / H).cast("int") >= boundary_h)
+    new_obs = incremental_raw_filter(raw_obs, boundary_h, cfg)
     fresh_1h = rollup_1h(new_obs, cfg)
     if wm_h >= 0 and store.exists(spark, TIER_1H):
         # localCheckpoint materializes the old rows BEFORE the

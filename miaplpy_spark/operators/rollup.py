@@ -215,7 +215,18 @@ def _slice_tail(num: dict, lookup, start: int, n: int) -> _Carry:
     return _Carry(tail_num, tail_strs)
 
 
-def make_rollup_1h_kernel(cfg: EngineConfig):
+def _acc_bucket_counts(acc, buckets: np.ndarray) -> None:
+    """Fold this output batch's per-bucket row counts into a dict
+    accumulator (rows-processed metrics without a post-write re-scan;
+    task retries can double-count — metrics only, never correctness;
+    the Iceberg deployment reads snapshot summaries instead)."""
+    if acc is None:
+        return
+    vals, cnts = np.unique(buckets, return_counts=True)
+    acc.add({int(b): int(c) for b, c in zip(vals, cnts)})
+
+
+def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
     T, S = cfg.slots_per_hour, cfg.n_samples
     method, lag = cfg.method, cfg.sbw_lag
     out_schema = _pa_schema(ROLLUP_1H_SCHEMA)
@@ -260,6 +271,7 @@ def make_rollup_1h_kernel(cfg: EngineConfig):
         mean_ntok = np.add.reduceat(num["n_tok"].astype(np.float64), starts) / n_obs
 
         sq_packed = np.concatenate([squeezed.real, squeezed.imag], axis=1)
+        _acc_bucket_counts(counts_acc, num["bucket"][starts])
         arrays = [
             pa.array(_take_strs(lookup, starts, "doc_id"), pa.string()),
             pa.array(doc_key[starts], pa.int64()),
@@ -307,7 +319,8 @@ def make_rollup_1h_kernel(cfg: EngineConfig):
 
 def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
               num_partitions: int | None = None,
-              assume_partitioned: bool = False) -> DataFrame:
+              assume_partitioned: bool = False,
+              counts_acc=None) -> DataFrame:
     """raw observations -> 1h tier. One shuffle (by bucket), then the
     kernel runs map-side; output stays partitioned by bucket for the
     1d tier and the MERGE write (partitioning reuse, no second
@@ -321,14 +334,15 @@ def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
         obs = obs.withColumn("doc_key", F.xxhash64("doc_id"))
     part = obs if assume_partitioned else (
         obs.repartition(p, "bucket").sortWithinPartitions("doc_key", "slot"))
-    out = part.mapInArrow(make_rollup_1h_kernel(cfg), ROLLUP_1H_SCHEMA)
+    out = part.mapInArrow(make_rollup_1h_kernel(cfg, counts_acc),
+                          ROLLUP_1H_SCHEMA)
     return out.withColumn(
         "hour_ts",
         F.timestamp_seconds(F.lit(cfg.epoch0)
                             + F.col("hour_idx").cast("long") * cfg.hour_seconds))
 
 
-def make_rollup_1d_kernel(cfg: EngineConfig):
+def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None):
     H, S, T = cfg.hours_per_day, cfg.n_samples, cfg.slots_per_hour
     method = cfg.method
     out_schema = _pa_schema(ROLLUP_1D_SCHEMA)
@@ -380,6 +394,7 @@ def make_rollup_1d_kernel(cfg: EngineConfig):
                   / n_hours)
 
         day_packed = np.concatenate([day_squeezed.real, day_squeezed.imag], axis=1)
+        _acc_bucket_counts(counts_acc, num["bucket"][starts])
         arrays = [
             pa.array(_take_strs(lookup, starts, "doc_id"), pa.string()),
             pa.array(doc_key[starts], pa.int64()),
@@ -430,7 +445,8 @@ def make_rollup_1d_kernel(cfg: EngineConfig):
 
 def rollup_1d(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
               num_partitions: int | None = None,
-              assume_partitioned: bool = False) -> DataFrame:
+              assume_partitioned: bool = False,
+              counts_acc=None) -> DataFrame:
     """1h tier -> 1d tier.
 
     ``assume_partitioned=True`` is the in-pipeline fast path: a
@@ -450,7 +466,8 @@ def rollup_1d(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     if not assume_partitioned:
         part = (part.repartition(p, "bucket")
                     .sortWithinPartitions("doc_key", "hour_idx"))
-    out = part.mapInArrow(make_rollup_1d_kernel(cfg), ROLLUP_1D_SCHEMA)
+    out = part.mapInArrow(make_rollup_1d_kernel(cfg, counts_acc),
+                          ROLLUP_1D_SCHEMA)
     return out.withColumn(
         "day_ts",
         F.timestamp_seconds(F.lit(cfg.epoch0)

@@ -59,3 +59,30 @@ def test_quality_mask_aggregates_before_filter(spark):
     q = relational.quality_mask(spark, SF)
     # HAVING on aggregate: one exchange for the groupBy, none extra
     assert count_exchanges(q) == 1
+
+
+def test_incremental_raw_filter_prunes_on_ts(spark, tmp_path):
+    """The incremental path's watermark predicate must reach the raw
+    scan as a ts min-max/partition filter (cascade.incremental_raw_
+    filter) — the (slot/H).cast(int) expression alone cannot prune."""
+    from miaplpy_spark.operators.cascade import incremental_raw_filter
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    spec = ScaleSpec(n_docs=2, n_slots=48, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    path = str(tmp_path / "obs")
+    obs.write.parquet(path)
+    raw = spark.read.parquet(path)
+
+    boundary_h = 3
+    filt = incremental_raw_filter(raw, boundary_h, cfg)
+    pf = pushed_filters(filt)
+    assert "ts" in pf, f"ts watermark predicate not pushed: {pf}"
+    # the predicate pair must select exactly the hours >= boundary
+    slots = [r["slot"] for r in filt.select("slot").distinct().collect()]
+    assert slots and min(slots) >= boundary_h * cfg.slots_per_hour
+    expected = raw.where(
+        (F.col("slot") / cfg.slots_per_hour).cast("int") >= boundary_h
+    ).count()
+    assert filt.count() == expected
