@@ -31,6 +31,12 @@ class EngineConfig:
     sbw_lag: int = 10
     ps_shp: int = 10                   # min ensemble for PS shortcut
     shp_alpha: float = 0.05
+    shp_test: str = "KS"               # KS | TTEST | AD (N2/N4/N5 dispatch)
+    ps_test: bool = True               # PS shortcut inside the 1h rollup:
+    # groups whose coherence is rank-1-dominant (top eig >95% of the
+    # spectrum norm) with amplitude dispersion <0.42 keep raw phase
+    # (test_PS_cy dispatch in the reference patch loop,
+    # lib/utils.pyx:420-459, 1110-1187)
 
     # physical layout
     n_buckets: int = 64                # doc_id hash buckets = partition keys

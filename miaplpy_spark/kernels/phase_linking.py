@@ -212,6 +212,30 @@ def test_ps(coh_mat: np.ndarray, amplitude: np.ndarray):
     return quality, vec, amp_dispersion, vals[-1], vals[-2], top_percentage
 
 
+def test_ps_batch(coh: np.ndarray, amplitude: np.ndarray):
+    """Batched PS gate over (B, N, N) coherence + (B, N[, S]) amplitude.
+
+    Same decision as the scalar ``test_ps`` (test_PS_cy,
+    /root/reference/src/miaplpy/lib/utils.pyx:420-459): a group is a
+    persistent scatterer when the top eigenvalue carries >95% of the
+    eigen-spectrum norm AND the amplitude dispersion across dates is
+    <0.42 — PS groups keep their raw phase (vec = ones, quality = 1).
+    Returns (is_ps (B,) bool, amp_dispersion (B,), top_percentage (B,)).
+    """
+    vals = np.linalg.eigvalsh(coh)          # ascending, (B, N)
+    s = np.sqrt((np.abs(vals) ** 2).sum(axis=1))
+    top_pct = vals[:, -1] * 100.0 / np.maximum(s, np.finfo(np.float64).tiny)
+    amp = amplitude.mean(axis=2) if amplitude.ndim == 3 else amplitude
+    mean_amp = amp.mean(axis=1)
+    std_amp = amp.std(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        disp = np.where(mean_amp == 0, 1.0,
+                        np.minimum(std_amp / np.where(mean_amp == 0, 1.0,
+                                                      mean_amp), 1.0))
+    is_ps = (top_pct > 95) & (disp < 0.42)
+    return is_ps, disp, top_pct
+
+
 # --------------------------------------------------------------------------
 # full per-group process + sequential cascade + datum connect
 # --------------------------------------------------------------------------

@@ -48,7 +48,7 @@ FUSED_SCHEMA = (
 def make_fused_kernel(cfg: EngineConfig):
     T, S, H = cfg.slots_per_hour, cfg.n_samples, cfg.hours_per_day
     spd = cfg.slots_per_day
-    method, lag = cfg.method, cfg.sbw_lag
+    method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
     out_schema = _pa_schema(FUSED_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
@@ -84,7 +84,7 @@ def make_fused_kernel(cfg: EngineConfig):
         re = fill_dense_batch(dense.real.astype(np.float64), present)
         im = fill_dense_batch(dense.imag.astype(np.float64), present)
         Z = (re + 1j * im).astype(np.complex64)
-        vec, quality, squeezed = _link_batch(Z, method, lag)
+        vec, quality, squeezed = _link_batch(Z, method, lag, ps_test=ps_test)
 
         ends = np.append(starts[1:], n)
         n_obs = (ends - starts).astype(np.int32)

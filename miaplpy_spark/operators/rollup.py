@@ -112,11 +112,21 @@ def _group_starts(key: np.ndarray, win: np.ndarray) -> np.ndarray:
     return np.flatnonzero(chg)
 
 
-def _link_batch(Z: np.ndarray, method: str, lag: int = 0):
+def _link_batch(Z: np.ndarray, method: str, lag: int = 0,
+                ps_test: bool = False):
     """(G, T, S) ensemble -> (vec (G,T), quality (G,), squeezed (G,S)).
 
     Batched correlation + regularization + EMI-with-EVD-fallback; the
     squeeze is one einsum over the whole batch.
+
+    ``ps_test=True`` mirrors the reference's per-pixel dispatch in the
+    patch loop (lib/utils.pyx:1110-1187 invoking test_PS_cy,
+    lib/utils.pyx:420-459): groups whose top eigenvalue carries >95% of
+    the spectrum norm with amplitude dispersion <0.42 are persistent
+    scatterers — they bypass the eigen linking and keep their raw phase
+    (vec = ones, quality = 1). The split is the same clean/dirty
+    common-case pattern used for regularization: the expensive EMI/EVD
+    runs only on the non-PS subset.
     """
     coh = pl.est_corr_batch(Z)
     if method == "SBW":
@@ -126,13 +136,25 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0):
         coh = np.where(band[None], coh, 0).astype(np.complex64)
 
     G, T = coh.shape[0], coh.shape[1]
+    if ps_test:
+        is_ps, _, _ = pl.test_ps_batch(coh, np.abs(Z))
+    else:
+        is_ps = np.zeros(G, dtype=bool)
+
     vec = np.empty((G, T), dtype=np.complex64)
+    quality = np.empty(G, dtype=np.float32)
+    vec[is_ps] = 1.0
+    quality[is_ps] = 1.0
+
+    link = np.flatnonzero(~is_ps)
+    cohL = coh[link] if is_ps.any() else coh
+    vecL = np.empty((cohL.shape[0], T), dtype=np.complex64)
     if method in ("EMI", "sequential_EMI", "PTA", "sequential_PTA", "SBW"):
-        status, abscoh = pl.regularize_matrix_batch(np.abs(coh).astype(np.float32))
+        status, abscoh = pl.regularize_matrix_batch(np.abs(cohL).astype(np.float32))
         ok = status == 0
         if ok.any():
             try:
-                vec[ok] = pl.emi_phase_batch(coh[ok], abscoh[ok])
+                vecL[ok] = pl.emi_phase_batch(cohL[ok], abscoh[ok])
             except np.linalg.LinAlgError:
                 # a matrix can pass the float32 Cholesky probe yet be
                 # singular to float64 inv (e.g. duplicate rows from
@@ -140,15 +162,18 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0):
                 # the reference's fallback chain (lib/utils.pyx:538-551)
                 for b in np.flatnonzero(ok):
                     try:
-                        vec[b] = pl.emi_phase(coh[b], abscoh[b])
+                        vecL[b] = pl.emi_phase(cohL[b], abscoh[b])
                     except np.linalg.LinAlgError:
-                        vec[b] = pl.evd_phase(coh[b])
+                        vecL[b] = pl.evd_phase(cohL[b])
         if (~ok).any():
-            vec[~ok] = pl.evd_phase_batch(coh[~ok])
+            vecL[~ok] = pl.evd_phase_batch(cohL[~ok])
     else:
-        vec = pl.evd_phase_batch(coh)
+        vecL = pl.evd_phase_batch(cohL)
 
-    quality = pl.gam_pta_batch(np.angle(coh), vec)
+    qualityL = pl.gam_pta_batch(np.angle(cohL), vecL)
+    vec[link] = vecL
+    quality[link] = qualityL
+
     vm = np.exp(1j * np.angle(vec)).astype(np.complex64)
     squeezed = np.einsum("gts,gt->gs", Z, vm.conj(), optimize=True) / np.sqrt(T)
     return vec, quality, squeezed.astype(np.complex64)
@@ -228,7 +253,7 @@ def _acc_bucket_counts(acc, buckets: np.ndarray) -> None:
 
 def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
     T, S = cfg.slots_per_hour, cfg.n_samples
-    method, lag = cfg.method, cfg.sbw_lag
+    method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
     out_schema = _pa_schema(ROLLUP_1H_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
@@ -261,7 +286,7 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
         im = fill_dense_batch(dense.imag.astype(np.float64), present)
         Z = (re + 1j * im).astype(np.complex64)
 
-        vec, quality, squeezed = _link_batch(Z, method, lag)
+        vec, quality, squeezed = _link_batch(Z, method, lag, ps_test=ps_test)
 
         ends = np.append(starts[1:], n)
         n_obs = (ends - starts).astype(np.int32)

@@ -31,7 +31,8 @@ def tier1h(spark):
 
 
 def _oracle_window(g, cfg):
-    """Reference semantics for ONE (doc, hour) window, scalar kernels."""
+    """Reference semantics for ONE (doc, hour) window, scalar kernels —
+    including the test_ps dispatch the patch loop applies per pixel."""
     T, S = cfg.slots_per_hour, cfg.n_samples
     sih = (g["slot"] % T).to_numpy()
     z = np.exp(1j * np.stack(g["zphi"].to_numpy()).astype(np.float32))
@@ -42,6 +43,12 @@ def _oracle_window(g, cfg):
     re = fill_dense_batch(dense.real.astype(np.float64), present)
     im = fill_dense_batch(dense.imag.astype(np.float64), present)
     Z = (re + 1j * im).astype(np.complex64)[0]
+    if cfg.ps_test:
+        coh = pl.est_corr(Z)
+        q_ps, vec_ps, *_ = pl.test_ps(coh, np.abs(Z).mean(axis=1))
+        if q_ps == 1.0:  # PS: keep raw phase
+            sq = pl.squeeze_images(vec_ps, Z, 0)
+            return np.angle(vec_ps), sq, 1.0
     vec, sq, q = pl.phase_linking_process(Z, 0, cfg.method, True, cfg.sbw_lag)
     return np.angle(vec), sq / 1.0, q
 
@@ -183,3 +190,64 @@ def test_stats_only_datagen_matches_token_path(spark):
     za = np.stack(pa["zphi"].to_numpy())
     zb = np.stack(pb["zphi"].to_numpy())
     assert np.array_equal(za, zb)
+
+
+def test_ps_branch_in_rollup(spark):
+    """Planted PS groups (rank-1-coherent windows) must bypass the eigen
+    linking inside the distributed kernel and keep their raw phase, per
+    the scalar test_ps dispatch (lib/utils.pyx:420-459, 1110-1187);
+    non-PS groups in the SAME batch still phase-link normally."""
+    import pandas as pd
+
+    cfg = EngineConfig(n_buckets=2, n_samples=8)
+    T, S = cfg.slots_per_hour, cfg.n_samples
+    rng = np.random.RandomState(0)
+    rows = []
+    base = rng.uniform(0, 2 * np.pi, size=S).astype(np.float32)
+    for d, doc in enumerate(["psdoc", "mixdoc"]):
+        for slot in range(2 * T):
+            phi = base if doc == "psdoc" else (
+                rng.uniform(0, 2 * np.pi, size=S).astype(np.float32))
+            rows.append({"doc_id": doc, "slot": slot, "source": "web",
+                         "bucket": d % cfg.n_buckets, "n_tok": 8,
+                         "sum_tok": 100, "min_tok": 1, "max_tok": 50,
+                         "zphi": phi.tolist()})
+    obs = spark.createDataFrame(pd.DataFrame(rows))
+    out = rollup_1h(obs, cfg).toPandas().set_index(["doc_id", "hour_idx"])
+    assert len(out) == 4
+
+    for (doc, h), row in out.iterrows():
+        g = [r for r in rows if r["doc_id"] == doc and r["slot"] // T == h]
+        z = np.exp(1j * np.array([r["zphi"] for r in g],
+                                 dtype=np.float32)).astype(np.complex64)
+        coh = pl.est_corr(z)
+        q_ps, vec_ps, *_ = pl.test_ps(coh, np.abs(z).mean(axis=1))
+        got = np.asarray(row["linked_phase"], dtype=np.float32)
+        if doc == "psdoc":
+            assert q_ps == 1.0, "scalar gate must classify planted group PS"
+            assert row["quality"] == 1.0
+            np.testing.assert_allclose(got, 0.0, atol=1e-6)
+        else:
+            assert q_ps != 1.0
+            vec, _, q = pl.phase_linking_process(z, 0, cfg.method, True, 0)
+            np.testing.assert_allclose(
+                np.exp(1j * got), np.exp(1j * np.angle(vec)), atol=2e-3)
+            assert abs(row["quality"] - q) < 2e-3
+
+
+def test_ps_batch_matches_scalar():
+    """test_ps_batch == scalar test_ps decision on mixed batches."""
+    rng = np.random.RandomState(3)
+    T, S = 10, 8
+    Z = np.empty((6, T, S), dtype=np.complex64)
+    for b in range(6):
+        if b % 2 == 0:
+            Z[b] = np.exp(1j * rng.uniform(0, 2 * np.pi, S))[None, :]
+        else:
+            Z[b] = np.exp(1j * rng.uniform(0, 2 * np.pi, (T, S)))
+    coh = pl.est_corr_batch(Z)
+    is_ps, disp, top = pl.test_ps_batch(coh, np.abs(Z))
+    for b in range(6):
+        q, *_ = pl.test_ps(pl.est_corr(Z[b]), np.abs(Z[b]).mean(axis=1))
+        assert is_ps[b] == (q == 1.0), f"batch/scalar disagree at {b}"
+    assert is_ps[::2].all() and not is_ps[1::2].any()
