@@ -32,6 +32,11 @@ class EngineConfig:
     ps_shp: int = 10                   # min ensemble for PS shortcut
     shp_alpha: float = 0.05
     shp_test: str = "KS"               # KS | TTEST | AD (N2/N4/N5 dispatch)
+    shp_filter: bool = False           # apply the SHP membership test
+    # inside the 1h rollup: slots whose token-sample distribution fails
+    # the test against the window's center slot are excluded from the
+    # eigen ensemble (interpolated like gaps); aggregates still cover
+    # all present rows (get_shp_row_col_c, lib/utils.pyx:903-998)
     ps_test: bool = True               # PS shortcut inside the 1h rollup:
     # groups whose coherence is rank-1-dominant (top eig >95% of the
     # spectrum norm) with amplitude dispersion <0.42 keep raw phase

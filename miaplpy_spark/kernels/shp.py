@@ -11,7 +11,11 @@ SURVEY.md P7).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+_lgamma = np.frompyfunc(math.lgamma, 1, 1)
 
 
 def ks_lut(n1: int, n2: int, alpha: float = 0.05) -> float:
@@ -45,15 +49,156 @@ def ks2_sample_test(ref_sorted: np.ndarray, test_sorted: np.ndarray,
     return ecdf_distance(ref_sorted, test_sorted) <= threshold
 
 
+def _betacf(a, b, x, maxit: int = 300, eps: float = 3e-12):
+    """Continued fraction for the incomplete beta (modified Lentz),
+    vectorized over x. Standard public-domain numerics."""
+    tiny = 1e-30
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < tiny, tiny, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, maxit + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = 1.0 / np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = 1.0 / np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < eps):
+            break
+    return h
+
+
+def betainc_reg(a, b, x):
+    """Regularized incomplete beta I_x(a, b), vectorized over x
+    (a, b scalars or broadcastable arrays). Both continued-fraction
+    branches are evaluated and selected by the usual convergence
+    criterion x < (a+1)/(a+b+2)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+    lbeta = np.asarray(_lgamma(a) + _lgamma(b) - _lgamma(a + b),
+                       dtype=np.float64)
+    xs = np.where((x == 0) | (x == 1), 0.5, x)  # safe logs; masked later
+    ln_front = a * np.log(xs) + b * np.log1p(-xs) - lbeta
+    front = np.exp(ln_front)
+    direct = front / a * _betacf(a, b, xs)
+    mirror = 1.0 - front / b * _betacf(b, a, 1.0 - xs)
+    use_direct = xs < (a + 1.0) / (a + b + 2.0)
+    out = np.where(use_direct, direct, mirror)
+    out = np.where(x == 0, 0.0, out)
+    out = np.where(x == 1, 1.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def welch_pvalue(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Two-sided Welch t-test p-value (unequal variances), pure NumPy —
+    scipy-free equivalent of ``ttest_ind(s1, s2, equal_var=False)[1]``
+    used by the reference's SHP variant (ttest_indtest_cy,
+    /root/reference/src/miaplpy/lib/utils.pyx:1220-1229).
+
+    ``s1``/``s2`` are (..., N) sample batches; the test vectorizes over
+    all leading axes. p = I_{ν/(ν+t²)}(ν/2, 1/2) with Welch-
+    Satterthwaite ν."""
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    n1, n2 = s1.shape[-1], s2.shape[-1]
+    m1, m2 = s1.mean(axis=-1), s2.mean(axis=-1)
+    v1 = s1.var(axis=-1, ddof=1)
+    v2 = s2.var(axis=-1, ddof=1)
+    vn1, vn2 = v1 / n1, v2 / n2
+    se2 = vn1 + vn2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t2 = np.where(se2 > 0, (m1 - m2) ** 2 / np.where(se2 > 0, se2, 1.0),
+                      np.where(m1 == m2, 0.0, np.inf))
+        df = np.where(se2 > 0,
+                      se2 ** 2 / (vn1 ** 2 / (n1 - 1) + vn2 ** 2 / (n2 - 1)),
+                      1.0)
+    p = betainc_reg(df / 2.0, 0.5, df / (df + t2))
+    return np.where(np.isinf(t2), 0.0, p)
+
+
+def ttest_ind_test(s1: np.ndarray, s2: np.ndarray, alpha: float) -> bool:
+    """1 = same distribution: Welch p-value >= alpha (the reference
+    keeps a neighbor when the test CANNOT reject equality)."""
+    return bool(welch_pvalue(s1, s2) >= alpha)
+
+
+def shp_keep_pairs(test: str, ref_sorted: np.ndarray,
+                   tests_sorted: np.ndarray, alpha: float = 0.05) -> np.ndarray:
+    """Row-wise SHP membership for (B, N) sorted sample pairs: True
+    where ``tests_sorted[b]`` is statistically homogeneous with
+    ``ref_sorted[b]`` under the configured test (N2 KS / N5 Welch)."""
+    N = ref_sorted.shape[-1]
+    if test == "KS":
+        thr = ks_lut(N, N, alpha)
+        return ecdf_distance_pairs(ref_sorted, tests_sorted) <= thr
+    if test == "TTEST":
+        return welch_pvalue(ref_sorted, tests_sorted) >= alpha
+    if test == "AD":
+        raise NotImplementedError(
+            "AD k-sample test needs scipy.stats.anderson_ksamp "
+            "(unavailable here); use KS or TTEST")
+    raise ValueError(f"unknown shp test {test!r}")
+
+
+def shp_gate(test: str, n1: int, n2: int, alpha: float = 0.05):
+    """SHP-membership dispatcher (the reference's shp_test enum,
+    get_shp_row_col_c lib/utils.pyx:903-998): returns
+    ``gate(ref_sorted (N,), tests_sorted (B, N)) -> bool (B,)``.
+
+    KS    — two-sample KS distance against the ks_lut critical value.
+    TTEST — Welch t-test, keep when p >= alpha.
+    AD    — Anderson-Darling k-sample: requires scipy's anderson_ksamp
+            critical-value tables (absent in this environment); the
+            dispatch point is kept so a scipy deployment can plug in.
+    """
+    if test == "KS":
+        thr = ks_lut(n1, n2, alpha)
+        return lambda ref, tests: ecdf_distance_batch(ref, tests) <= thr
+    if test == "TTEST":
+        return lambda ref, tests: welch_pvalue(
+            np.broadcast_to(ref, tests.shape), tests) >= alpha
+    if test == "AD":
+        raise NotImplementedError(
+            "AD k-sample test needs scipy.stats.anderson_ksamp "
+            "(unavailable here); use KS or TTEST")
+    raise ValueError(f"unknown shp test {test!r}")
+
+
+def ecdf_distance_pairs(a_sorted: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
+    """Row-wise KS distance between two (B, N) batches of SORTED
+    same-length samples — fully vectorized (no per-row searchsorted
+    loop): merge by stable argsort, walk both ECDFs with cumsums, and
+    evaluate only at the end of each equal-value run (tie handling
+    identical to searchsorted side='right')."""
+    B, N = a_sorted.shape
+    allv = np.concatenate([a_sorted, b_sorted], axis=1)
+    order = np.argsort(allv, axis=1, kind="stable")
+    vals = np.take_along_axis(allv, order, axis=1)
+    from_a = order < N
+    cdf_a = np.cumsum(from_a, axis=1)
+    cdf_b = np.cumsum(~from_a, axis=1)
+    diff = np.abs(cdf_a - cdf_b).astype(np.float64) / N
+    valid = np.ones((B, 2 * N), dtype=bool)
+    valid[:, :-1] = vals[:, 1:] != vals[:, :-1]
+    return np.where(valid, diff, 0.0).max(axis=1)
+
+
 def ecdf_distance_batch(ref_sorted: np.ndarray, tests_sorted: np.ndarray) -> np.ndarray:
     """Distance of one sorted reference (N,) against a batch of sorted
     candidates (B, N) — vectorized over the batch."""
     B, N = tests_sorted.shape
-    ref_tiled = np.broadcast_to(ref_sorted, (B, N))
-    data_all = np.sort(np.concatenate([ref_tiled, tests_sorted], axis=1), axis=1)
-    out = np.empty(B, dtype=np.float64)
-    for b in range(B):  # searchsorted has no batched axis; N is tiny (<=stack depth)
-        c1 = np.searchsorted(ref_sorted, data_all[b], side="right")
-        c2 = np.searchsorted(tests_sorted[b], data_all[b], side="right")
-        out[b] = np.max(np.abs(c1 - c2)) / N
-    return out
+    return ecdf_distance_pairs(
+        np.ascontiguousarray(np.broadcast_to(ref_sorted, (B, N))),
+        tests_sorted)

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame
 
 from ..config import EngineConfig
 from ..kernels import phase_linking as pl
+from ..kernels import shp as shp_kernels
 from ..kernels.gapfill import fill_dense_batch
 
 ROLLUP_1H_SCHEMA = (
@@ -251,9 +252,38 @@ def _acc_bucket_counts(acc, buckets: np.ndarray) -> None:
     acc.add({int(b): int(c) for b, c in zip(vals, cnts)})
 
 
+def _shp_present(phi_dense: np.ndarray, present: np.ndarray,
+                 test: str, alpha: float) -> np.ndarray:
+    """SHP membership inside the window (N1, get_shp_row_col_c
+    lib/utils.pyx:903-998 grafted to the token axis): each slot's
+    token-sample distribution (phase = affine in token id) is tested
+    against the window's center-most present slot; failing slots are
+    excluded from the eigen ensemble (they fall back to interpolation,
+    like gaps). Groups left with <2 member slots keep all present
+    slots (the reference's min-SHP fallback). Fully vectorized."""
+    G, T, S = phi_dense.shape
+    t = np.arange(T)
+    cost = np.abs(t[None, :] - (T - 1) / 2.0) + 1e6 * (~present)
+    ref_t = np.argmin(cost, axis=1)                     # (G,)
+    srt = np.sort(phi_dense, axis=2)
+    g = np.arange(G)
+    ref = np.ascontiguousarray(
+        np.broadcast_to(srt[g, ref_t][:, None, :], (G, T, S))
+    ).reshape(G * T, S)
+    keep = shp_kernels.shp_keep_pairs(
+        test, ref, srt.reshape(G * T, S), alpha).reshape(G, T)
+    keep[g, ref_t] = True
+    keep &= present
+    too_few = keep.sum(axis=1) < 2
+    keep[too_few] = present[too_few]
+    return keep
+
+
 def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
     T, S = cfg.slots_per_hour, cfg.n_samples
     method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
+    shp_filter, shp_test, shp_alpha = (cfg.shp_filter, cfg.shp_test,
+                                       cfg.shp_alpha)
     out_schema = _pa_schema(ROLLUP_1H_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
@@ -282,8 +312,14 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
         present = np.zeros((G, T), dtype=bool)
         dense[gid, sih] = z
         present[gid, sih] = True
-        re = fill_dense_batch(dense.real.astype(np.float64), present)
-        im = fill_dense_batch(dense.imag.astype(np.float64), present)
+        ens_present = present
+        if shp_filter:
+            phi_dense = np.zeros((G, T, S), dtype=np.float32)
+            phi_dense[gid, sih] = phi
+            ens_present = _shp_present(phi_dense, present, shp_test,
+                                       shp_alpha)
+        re = fill_dense_batch(dense.real.astype(np.float64), ens_present)
+        im = fill_dense_batch(dense.imag.astype(np.float64), ens_present)
         Z = (re + 1j * im).astype(np.complex64)
 
         vec, quality, squeezed = _link_batch(Z, method, lag, ps_test=ps_test)

@@ -162,3 +162,69 @@ def test_ks_lut_and_distance():
     d = shp.ecdf_distance_batch(a, np.stack([b, c]))
     assert abs(d[0] - shp.ecdf_distance(a, b)) < 1e-12
     assert abs(d[1] - shp.ecdf_distance(a, c)) < 1e-12
+
+
+def test_betainc_reg_closed_forms():
+    x = np.linspace(0.01, 0.99, 23)
+    # I_x(1,1) = x
+    np.testing.assert_allclose(shp.betainc_reg(1.0, 1.0, x), x, atol=1e-10)
+    # I_x(1/2,1/2) = (2/pi) asin(sqrt(x))
+    np.testing.assert_allclose(
+        shp.betainc_reg(0.5, 0.5, x), (2 / np.pi) * np.arcsin(np.sqrt(x)),
+        atol=1e-9)
+    assert shp.betainc_reg(2.0, 3.0, 0.0) == 0.0
+    assert shp.betainc_reg(2.0, 3.0, 1.0) == 1.0
+
+
+def test_welch_pvalue_hand_computed():
+    """Welch t on [1,2,3,4] vs [2,3,4,5]: t = -1.095445, Welch-
+    Satterthwaite df = 6, two-sided p = 0.315323 (public t tables /
+    scipy.stats.ttest_ind(equal_var=False) reference value)."""
+    s1 = np.array([1.0, 2.0, 3.0, 4.0])
+    s2 = np.array([2.0, 3.0, 4.0, 5.0])
+    p = float(shp.welch_pvalue(s1, s2))
+    assert abs(p - 0.315323) < 1e-4
+    # symmetry + identical samples
+    assert abs(p - float(shp.welch_pvalue(s2, s1))) < 1e-12
+    assert float(shp.welch_pvalue(s1, s1)) == 1.0
+    # z = 1.96 at huge df -> p ~ 0.05
+    rng = np.random.RandomState(0)
+    n = 200_000
+    a = rng.normal(0, 1, n)
+    a = (a - a.mean()) / a.std(ddof=1)
+    b = a + 1.96 * np.sqrt(2.0 / n)
+    assert abs(float(shp.welch_pvalue(a, b)) - 0.05) < 2e-3
+    # monotone in shift
+    ps = [float(shp.welch_pvalue(s1, s1 + d)) for d in (0.5, 1.0, 2.0)]
+    assert ps[0] > ps[1] > ps[2]
+
+
+def test_welch_pvalue_batched():
+    rng = np.random.RandomState(1)
+    ref = rng.normal(0, 1, 30)
+    tests = np.stack([ref + d for d in (0.0, 0.1, 1.0, 5.0)])
+    p = shp.welch_pvalue(np.broadcast_to(ref, tests.shape), tests)
+    assert p.shape == (4,)
+    for i in range(4):
+        assert abs(p[i] - float(shp.welch_pvalue(ref, tests[i]))) < 1e-12
+    assert p[0] == 1.0 and p[3] < 1e-6
+
+
+def test_shp_gate_dispatch():
+    """KS | TTEST | AD dispatch (EngineConfig.shp_test, reference
+    shp_test enum get_shp_row_col_c)."""
+    rng = np.random.RandomState(2)
+    n = 40
+    ref = np.sort(rng.normal(0, 1, n))
+    same = np.sort(rng.normal(0, 1, n))
+    far = np.sort(rng.normal(4, 1, n))
+    tests = np.stack([same, far])
+    for name in ("KS", "TTEST"):
+        gate = shp.shp_gate(name, n, n, alpha=0.05)
+        keep = gate(ref, tests)
+        assert keep[0] and not keep[1], name
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        shp.shp_gate("AD", n, n)
+    with _pytest.raises(ValueError):
+        shp.shp_gate("nope", n, n)

@@ -251,3 +251,50 @@ def test_ps_batch_matches_scalar():
         q, *_ = pl.test_ps(pl.est_corr(Z[b]), np.abs(Z[b]).mean(axis=1))
         assert is_ps[b] == (q == 1.0), f"batch/scalar disagree at {b}"
     assert is_ps[::2].all() and not is_ps[1::2].any()
+
+
+def test_shp_filter_excludes_outlier_slot(spark):
+    """N1 predicate inside the rollup: a slot whose token-sample
+    distribution fails the SHP test against the window's center slot is
+    excluded from the eigen ensemble (interpolated like a gap);
+    aggregates still cover every present row."""
+    import pandas as pd
+
+    from miaplpy_spark.operators.rollup import _shp_present
+
+    cfg = EngineConfig(n_buckets=1, n_samples=16, shp_filter=True,
+                       shp_test="TTEST", ps_test=False)
+    T, S = cfg.slots_per_hour, cfg.n_samples
+    rng = np.random.RandomState(5)
+    phi = rng.uniform(0, 2 * np.pi, (T, S)).astype(np.float32)
+    phi[2] = rng.uniform(0, 0.3, S).astype(np.float32)  # planted outlier
+
+    # the gate itself: slot 2 excluded, everything else kept
+    present = np.ones((1, T), dtype=bool)
+    keep = _shp_present(phi[None], present, "TTEST", cfg.shp_alpha)
+    assert not keep[0, 2] and keep[0, [t for t in range(T) if t != 2]].all()
+
+    rows = [{"doc_id": "d0", "slot": t, "source": "web", "bucket": 0,
+             "n_tok": 8, "sum_tok": 100, "min_tok": 1, "max_tok": 50,
+             "zphi": phi[t].tolist()} for t in range(T)]
+    out = rollup_1h(spark.createDataFrame(pd.DataFrame(rows)), cfg).toPandas()
+    assert len(out) == 1 and out.iloc[0]["n_obs"] == T  # aggregates intact
+
+    # oracle: same window with slot 2 masked out of the ensemble
+    z = np.exp(1j * phi).astype(np.complex64)
+    dense = z[None]
+    re = fill_dense_batch(dense.real.astype(np.float64), keep)
+    im = fill_dense_batch(dense.imag.astype(np.float64), keep)
+    Z = (re + 1j * im).astype(np.complex64)[0]
+    vec, _, q = pl.phase_linking_process(Z, 0, cfg.method, True, 0)
+    got = np.asarray(out.iloc[0]["linked_phase"], dtype=np.float32)
+    np.testing.assert_allclose(np.exp(1j * got), np.exp(1j * np.angle(vec)),
+                               atol=2e-3)
+    assert abs(out.iloc[0]["quality"] - q) < 2e-3
+
+    # and with the filter OFF the output differs (the outlier leaks in)
+    cfg_off = EngineConfig(n_buckets=1, n_samples=16, ps_test=False)
+    out_off = rollup_1h(spark.createDataFrame(pd.DataFrame(rows)),
+                        cfg_off).toPandas()
+    got_off = np.asarray(out_off.iloc[0]["linked_phase"], dtype=np.float32)
+    assert not np.allclose(np.exp(1j * got_off), np.exp(1j * got), atol=1e-4)
