@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_seq_pairs": relational.sequential_pairs,
         "q07_single_reference": relational.single_reference_pairs,
         "q08_anti_join": relational.anti_join_users,
+        "q34_ministack_network": relational.ministack_network,
+        "q35_tolerance_asof": relational.tolerance_asof_pairs,
         # masks / filters / quality (§2.2, §2.5)
         "q09_masked_agg": relational.masked_agg,
         "q10_quality_mask": relational.quality_mask,
@@ -319,6 +321,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'click' AND user_id NOT IN
                   (SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "q34_ministack_network": """
+            WITH days AS (SELECT date_trunc('day', ts) AS d,
+                                 round(avg(value), 6) AS bperp
+                          FROM events GROUP BY 1),
+            mn AS (SELECT min(d) AS d0 FROM days),
+            s AS (SELECT d, bperp,
+                         CAST(date_diff('day', d0, d) // 7 AS BIGINT) AS wk
+                  FROM days, mn),
+            idx AS (SELECT d, bperp, wk,
+                           row_number() OVER (PARTITION BY wk ORDER BY d) AS i,
+                           count(*) OVER (PARTITION BY wk) AS n
+                    FROM s),
+            ref AS (SELECT wk, d AS ref_day, bperp AS ref_b
+                    FROM idx WHERE i = (n + 1) // 2),
+            intra AS (SELECT ref_day AS day1, d AS day2,
+                             'intra' AS pair_type,
+                             round(abs(ref_b - bperp), 6) AS bperp_diff
+                      FROM idx JOIN ref USING (wk) WHERE d <> ref_day),
+            lastd AS (SELECT wk + 1 AS wk, d AS last_day, bperp AS last_b
+                      FROM idx WHERE i = n),
+            conn AS (SELECT last_day AS day1, d AS day2,
+                            'short_baseline' AS pair_type,
+                            round(abs(last_b - bperp), 6) AS bperp_diff,
+                            row_number() OVER (PARTITION BY idx.wk
+                                  ORDER BY abs(last_b - bperp), d) AS rk
+                     FROM idx JOIN lastd USING (wk)),
+            datum AS (SELECT a.ref_day AS day1, b.ref_day AS day2,
+                             'datum' AS pair_type,
+                             round(abs(a.ref_b - b.ref_b), 6) AS bperp_diff
+                      FROM ref a JOIN ref b ON b.wk = a.wk + 1)
+            SELECT day1, day2, pair_type, bperp_diff FROM intra
+            UNION ALL
+            SELECT day1, day2, pair_type, bperp_diff FROM conn WHERE rk = 1
+            UNION ALL
+            SELECT day1, day2, pair_type, bperp_diff FROM datum
+        """,
+        "q35_tolerance_asof": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d
+                          FROM events)
+            SELECT a.d AS ref_day,
+                   min_by(b.d, date_diff('day', a.d, b.d)) AS sec_day,
+                   CAST(min(date_diff('day', a.d, b.d)) AS BIGINT) AS dt_days
+            FROM days a JOIN days b
+                 ON date_diff('day', a.d, b.d) BETWEEN 6 AND 8
+            GROUP BY 1
         """,
         "q09_masked_agg": """
             SELECT l_returnflag, round(sum(v), 2) AS revenue,

@@ -123,6 +123,82 @@ def single_reference_pairs(spark, sf_dir) -> DataFrame:
                     F.datediff("d", "ref_day").cast("long").alias("dt_days")))
 
 
+def ministack_network(spark, sf_dir) -> DataFrame:
+    """Mini-stacks network with inter-stack connectors (J4,
+    find_mini_stacks /root/reference/src/miaplpy/find_short_baselines.py
+    :225-257): days grouped into weekly mini-stacks (the year->week
+    graft at testdata scale); per stack a middle reference day; pairs =
+    (ref, every other day in the stack) + two connector kinds between
+    consecutive stacks: the previous stack's LAST day joined to the new
+    stack's day with minimum |Δbaseline| (find_short_pbaseline_pair
+    :216-222 — the window + row_number over abs(bperp_diff) plan), and
+    consecutive references (datum chain). avg(value) per day plays the
+    perpendicular-baseline scalar."""
+    ev = _t(spark, sf_dir, "events")
+    days = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+              .agg(F.round(F.avg("value"), 6).alias("bperp")))
+    d0 = days.agg(F.min("d").alias("d0"))
+    s = (days.crossJoin(F.broadcast(d0))
+             .withColumn("wk", F.floor(F.datediff("d", "d0") / 7)
+                         .cast("long"))
+             .drop("d0"))
+    w = Window.partitionBy("wk").orderBy("d")
+    idx = s.select("d", "bperp", "wk",
+                   F.row_number().over(w).alias("i"),
+                   F.count("*").over(Window.partitionBy("wk")).alias("n"))
+    ref = (idx.where(F.col("i") == F.floor((F.col("n") + 1) / 2))
+              .select("wk", F.col("d").alias("ref_day"),
+                      F.col("bperp").alias("ref_b")))
+    intra = (idx.join(F.broadcast(ref), "wk")
+                .where(F.col("d") != F.col("ref_day"))
+                .select(F.col("ref_day").alias("day1"),
+                        F.col("d").alias("day2"),
+                        F.lit("intra").alias("pair_type"),
+                        F.round(F.abs(F.col("ref_b") - F.col("bperp")), 6)
+                        .alias("bperp_diff")))
+    last = (idx.where(F.col("i") == F.col("n"))
+               .select((F.col("wk") + 1).alias("wk"),
+                       F.col("d").alias("last_day"),
+                       F.col("bperp").alias("last_b")))
+    wc = (Window.partitionBy("wk")
+          .orderBy(F.abs(F.col("last_b") - F.col("bperp")), "d"))
+    conn = (idx.join(F.broadcast(last), "wk")
+               .withColumn("rk", F.row_number().over(wc))
+               .where(F.col("rk") == 1)
+               .select(F.col("last_day").alias("day1"),
+                       F.col("d").alias("day2"),
+                       F.lit("short_baseline").alias("pair_type"),
+                       F.round(F.abs(F.col("last_b") - F.col("bperp")), 6)
+                       .alias("bperp_diff")))
+    nxt = ref.select((F.col("wk") - 1).alias("wk"),
+                     F.col("ref_day").alias("ref2"),
+                     F.col("ref_b").alias("ref2_b"))
+    datum = (ref.join(nxt, "wk")
+                .select(F.col("ref_day").alias("day1"),
+                        F.col("ref2").alias("day2"),
+                        F.lit("datum").alias("pair_type"),
+                        F.round(F.abs(F.col("ref_b") - F.col("ref2_b")), 6)
+                        .alias("bperp_diff")))
+    return intra.unionByName(conn).unionByName(datum)
+
+
+def tolerance_asof_pairs(spark, sf_dir) -> DataFrame:
+    """Tolerance-window as-of join (J5, find_one_year_interferograms
+    /root/reference/src/miaplpy/find_short_baselines.py:259-274 —
+    365 d ± 5 d grafted to 7 d ± 1 d at testdata scale): for each day,
+    min_by over the candidates in [d+6 d, d+8 d] (the reference's
+    np.nanmin over date_diff picks the earliest in-window candidate);
+    days with no candidate emit nothing."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    a, b = days.alias("a"), days.alias("b")
+    dt = F.datediff(F.col("b.d"), F.col("a.d"))
+    return (a.join(b, dt.between(6, 8))
+             .groupBy(F.col("a.d").alias("ref_day"))
+             .agg(F.min_by(F.col("b.d"), dt).alias("sec_day"),
+                  F.min(dt).cast("long").alias("dt_days")))
+
+
 def anti_join_users(spark, sf_dir) -> DataFrame:
     """Stale-item cleanup (J8, check_ifgs.py:16-37 -> left_anti):
     users who click but never purchase."""
