@@ -76,10 +76,12 @@ def _compressed_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compress_1h(rollup_1h(obs, cfg), cfg)
 
 
-def _network_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _network_inversion(spark: SparkSession, sf_dir: str,
+                       method: str = "L2") -> DataFrame:
     """Full pipeline closure: synthetic sequences -> 1h phase-linking
     tier -> banded pair network -> batched least-squares inversion
-    (rows-only check; the kernel math is oracle-tested in pytest)."""
+    (rows-only check; the kernel math is oracle-tested in pytest).
+    ``method`` selects L2 / coherence-weighted WLS / IRLS-L1."""
     from miaplpy_spark.config import EngineConfig, ScaleSpec
     from miaplpy_spark.datagen import generate_sequences, prepare_observations
     from miaplpy_spark.operators.network_inversion import invert_network
@@ -89,7 +91,7 @@ def _network_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = ScaleSpec(n_docs=12, n_slots=480, tok_lo=16, tok_hi=64,
                      tok_heavy_lo=128, tok_heavy_hi=256)
     obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
-    return invert_network(rollup_1h(obs, cfg), cfg)
+    return invert_network(rollup_1h(obs, cfg), cfg, method=method)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_compressed_tier": _compressed_tier,
         "q32_network_inversion": lambda s, d: _canon_safe(
             _network_inversion(s, d)),
+        "q36_weighted_inversion": lambda s, d: _canon_safe(
+            _network_inversion(s, d, method="WLS")),
+        "q37_l1_inversion": lambda s, d: _canon_safe(
+            _network_inversion(s, d, method="L1")),
     }
 
 

@@ -67,6 +67,104 @@ def estimate_timeseries_batch(A: np.ndarray, Y: np.ndarray) -> np.ndarray:
     return ts
 
 
+def coherence2weight_sqrt(coh: np.ndarray, weight_func: str = "var",
+                          L: int = 1, epsilon: float = 5e-2) -> np.ndarray:
+    """Coherence -> sqrt(weight) (A20; the reference's calc_weight_sqrt,
+    dev/ifgram_inversion_L1L2.py:969-1013, delegating to mintpy's public
+    decorrelation.coherence2weight with the same epsilon=5e-2 clamp).
+
+    - 'var': inverse phase variance from the Cramer-Rao bound,
+      w = 2·L·γ² / (1 − γ²)  (1/σ²_CRLB)
+    - 'fim': Fisher information measure — same functional form
+    - 'coh': the coherence itself
+    - 'no' : uniform (SBAS)
+    """
+    g = np.clip(np.asarray(coh, dtype=np.float64), epsilon, 1.0 - epsilon)
+    if weight_func in ("var", "fim"):
+        w = 2.0 * L * g * g / (1.0 - g * g)
+    elif weight_func == "coh":
+        w = g
+    elif weight_func == "no":
+        w = np.ones_like(g)
+    else:
+        raise ValueError(f"unknown weight_func {weight_func!r}")
+    return np.sqrt(w)
+
+
+def estimate_timeseries_wls_batch(A: np.ndarray, Y: np.ndarray,
+                                  Wsqrt: np.ndarray) -> np.ndarray:
+    """Per-pixel weighted L2 (the reference's WLS branch,
+    dev/ifgram_inversion_L1L2.py:420-612) without the per-pixel loop:
+    weights differ per pixel, so the single shared pseudo-inverse of
+    the unweighted fast path no longer applies — instead solve the
+    normal equations (AᵀW A) X = AᵀW y batched over pixels with one
+    np.linalg.solve call.
+
+    A (n_pair, n_date-1); Y, Wsqrt (n_pair, n_px). Returns
+    (n_date, n_px) with ts[0] = 0."""
+    Aw = A[None, :, :] * Wsqrt.T[:, :, None]        # (px, pair, date-1)
+    Yw = (Y * Wsqrt).T[:, :, None]                  # (px, pair, 1)
+    AtA = np.einsum("pki,pkj->pij", Aw, Aw, optimize=True)
+    Aty = np.einsum("pki,pk->pi", Aw, Yw[:, :, 0], optimize=True)
+    try:
+        X = np.linalg.solve(AtA, Aty)               # (px, date-1)
+    except np.linalg.LinAlgError:
+        X = np.stack([np.linalg.lstsq(Aw[p], Yw[p, :, 0], rcond=None)[0]
+                      for p in range(Aw.shape[0])])
+    ts = np.zeros((A.shape[1] + 1, Y.shape[1]), dtype=np.float64)
+    ts[1:] = X.T
+    return ts
+
+
+def invert_l1_batch(R: np.ndarray, Y: np.ndarray, alpha: float = 0.01,
+                    max_iter: int = 100, tol: float = 1e-3) -> np.ndarray:
+    """Batched IRLS-L1 (invert_L1_norm, :378-417): same Tikhonov-
+    smoothed iteration as the scalar ``invert_l1`` but with per-pixel
+    diagonal weights and batched normal-equation solves — one
+    np.linalg.solve per IRLS sweep for ALL pixels instead of a pinv
+    per pixel per sweep. Converged pixels freeze (their weights stop
+    updating), matching the scalar early exit. Returns (n_x, n_px)."""
+    n = R.shape[1]
+    n_px = Y.shape[1]
+    D = (np.diag(np.full(n, -2.0))
+         + np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1))
+    G = np.vstack([R, alpha * D])                    # (m, n)
+    d = np.vstack([Y, np.zeros((n, n_px))])          # (m, n_px)
+    m = G.shape[0]
+
+    def _solve(Wd):                                  # Wd (px, m)
+        Gw = G[None, :, :] * Wd[:, :, None]
+        dw = (d.T * Wd)
+        GtG = np.einsum("pki,pkj->pij", Gw, Gw, optimize=True)
+        Gtd = np.einsum("pki,pk->pi", Gw, dw, optimize=True)
+        try:
+            return np.linalg.solve(GtG, Gtd)         # (px, n)
+        except np.linalg.LinAlgError:
+            # IRLS weights can zero-out enough rows to make a pixel's
+            # normal matrix singular; fall back to the scalar path's
+            # pinv semantics for the whole sweep
+            return np.stack([np.linalg.lstsq(Gw[p], dw[p], rcond=None)[0]
+                             for p in range(Gw.shape[0])])
+
+    W = np.ones((n_px, m))
+    X = _solve(W)
+    prev_res = np.abs(X @ G.T - d.T)                 # (px, m)
+    active = np.ones(n_px, dtype=bool)
+    for _ in range(max_iter):
+        w = 1.0 / np.maximum(prev_res, 1e-8)
+        w = w / w.max(axis=1, keepdims=True)
+        W = np.where(active[:, None], w, W)
+        X_new = _solve(W)
+        X = np.where(active[:, None], X_new, X)
+        res = np.abs(X @ G.T - d.T)
+        still = np.max(np.abs(res - prev_res), axis=1) > tol
+        prev_res = np.where(active[:, None], res, prev_res)
+        active &= still
+        if not active.any():
+            break
+    return X.T
+
+
 def estimate_timeseries_gappy(A: np.ndarray, Y: np.ndarray,
                               mask: np.ndarray) -> np.ndarray:
     """Gappy path: per-pixel row drop of NaN observations (F3

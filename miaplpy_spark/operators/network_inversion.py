@@ -23,8 +23,11 @@ from pyspark.sql import DataFrame
 
 from ..config import EngineConfig
 from ..kernels.lstsq import (
+    coherence2weight_sqrt,
     design_matrices,
     estimate_timeseries_batch,
+    estimate_timeseries_wls_batch,
+    invert_l1_batch,
     network_temporal_coherence,
 )
 from .rollup import _pa_schema
@@ -41,96 +44,122 @@ def sequential_pairs_idx(n: int, conn: int = 3) -> list[tuple[int, int]]:
 
 
 def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
-                   conn: int = 3, num_partitions: int | None = None) -> DataFrame:
+                   conn: int = 3, num_partitions: int | None = None,
+                   method: str = "L2", weight_func: str = "var",
+                   l1_alpha: float = 0.01) -> DataFrame:
     """hourly tier -> per-doc inverted time series + network temporal
     coherence. One exchange (by bucket); per-doc phase series assembled
-    in the kernel; docs sharing a window count solve in one batch."""
+    in the kernel; docs sharing a window count solve in one batch.
+
+    ``method``: 'L2' (shared-pseudo-inverse fast path), 'WLS'
+    (coherence-weighted least squares: per-pair weight from the two
+    windows' quality via the Fisher-information mapping
+    coherence2weight_sqrt — calc_weight_sqrt,
+    dev/ifgram_inversion_L1L2.py:969-1013 + :420-612), or 'L1'
+    (batched IRLS with Tikhonov smoothing, invert_L1_norm :378-417).
+    """
+    if method not in ("L2", "WLS", "L1"):
+        raise ValueError(f"unknown inversion method {method!r}")
     theta = F.atan2(
         F.aggregate(F.transform("linked_phase", lambda x: F.sin(x)),
                     F.lit(0.0), lambda a, x: a + x),
         F.aggregate(F.transform("linked_phase", lambda x: F.cos(x)),
                     F.lit(0.0), lambda a, x: a + x))
+    q_col = (F.col("quality") if "quality" in df_1h.columns
+             else F.lit(1.0))  # unweighted when the tier carries no quality
     slim = df_1h.select(
         "doc_id",
         F.xxhash64("doc_id").alias("doc_key"),
         "source", "bucket", "hour_idx",
-        theta.cast("double").alias("theta"))
+        theta.cast("double").alias("theta"),
+        q_col.cast("double").alias("q"))
 
     out_schema = _pa_schema(INVERSION_SCHEMA)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # accumulate whole partition: per-doc series are tiny (one
-        # scalar per hour) so partition state is bounded
-        doc_key, hour, th = [], [], []
-        doc_id, source, bucket = [], [], []
-        seen = {}
+        # scalar per hour) so partition state is bounded. Strings stay
+        # Arrow arrays end-to-end and are materialized ONLY at group
+        # starts (no per-row Python).
+        doc_key, hour, th, qu = [], [], [], []
+        ids, srcs, bks = [], [], []
         for batch in batches:
-            dk = batch.column("doc_key").to_numpy()
-            doc_key.append(dk)
+            doc_key.append(batch.column("doc_key").to_numpy())
             hour.append(batch.column("hour_idx").to_numpy())
             th.append(batch.column("theta").to_numpy())
-            ids = batch.column("doc_id")
-            srcs = batch.column("source")
-            bks = batch.column("bucket").to_numpy()
-            for i in range(len(dk)):
-                k = int(dk[i])
-                if k not in seen:
-                    seen[k] = (ids[i].as_py(), srcs[i].as_py(), int(bks[i]))
+            qu.append(batch.column("q").to_numpy())
+            ids.append(batch.column("doc_id"))
+            srcs.append(batch.column("source"))
+            bks.append(batch.column("bucket").to_numpy())
         if not doc_key:
             return
         dk = np.concatenate(doc_key)
         hr = np.concatenate(hour)
         t = np.concatenate(th)
+        q = np.concatenate(qu)
+        bk = np.concatenate(bks)
         order = np.lexsort((hr, dk))
-        dk, hr, t = dk[order], hr[order], t[order]
+        dk, hr, t, q = dk[order], hr[order], t[order], q[order]
         starts = np.flatnonzero(np.concatenate([[True], dk[1:] != dk[:-1]]))
         ends = np.append(starts[1:], dk.shape[0])
+        # group-start row positions in the ORIGINAL (pre-sort) layout:
+        # Arrow take materializes exactly G strings
+        orig_starts = order[starts]
+        ids_at = pa.concat_arrays([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in ids]).take(
+                pa.array(orig_starts))
+        srcs_at = pa.concat_arrays([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in srcs]).take(
+                pa.array(orig_starts))
+        bk_at = bk[orig_starts]
 
         by_n: dict[int, list[int]] = {}
         for g, (s, e) in enumerate(zip(starts, ends)):
             by_n.setdefault(int(e - s), []).append(g)
 
-        rows = {k: [] for k in ("doc_id", "source", "bucket", "n_hours",
-                                "ts_series", "inv_quality")}
+        out_g, out_n, out_ts, out_q = [], [], [], []
         for n, groups in by_n.items():
             if n < 2:
                 continue
             pairs = sequential_pairs_idx(n, conn)
-            tbase = np.arange(n, dtype=np.float64)
-            A, _ = design_matrices(pairs, tbase)
-            Y = np.empty((len(pairs), len(groups)))
-            for c, g in enumerate(groups):
-                s = starts[g]
-                series = t[s:s + n]
-                diffs = np.array([series[j] - series[i] for i, j in pairs])
-                Y[:, c] = np.angle(np.exp(1j * diffs))  # rewrap idiom
-            ts = estimate_timeseries_batch(A, Y)
-            q = network_temporal_coherence(A, ts[1:], Y)
-            for c, g in enumerate(groups):
-                k = int(dk[starts[g]])
-                did, src, bk = seen[k]
-                rows["doc_id"].append(did)
-                rows["source"].append(src)
-                rows["bucket"].append(bk)
-                rows["n_hours"].append(n)
-                rows["ts_series"].append(ts[:, c].astype(np.float32))
-                rows["inv_quality"].append(float(q[c]))
-        if not rows["doc_id"]:
+            I = np.fromiter((i for i, _ in pairs), dtype=np.int64)
+            J = np.fromiter((j for _, j in pairs), dtype=np.int64)
+            A, _ = design_matrices(pairs, np.arange(n, dtype=np.float64))
+            gidx = np.asarray(groups)
+            pos = starts[gidx][:, None] + np.arange(n)[None, :]  # (D, n)
+            series = t[pos]
+            # same-row pairwise diffs, rewrapped — index arrays, no loop
+            Y = np.angle(np.exp(1j * (series[:, J] - series[:, I]))).T
+            if method == "WLS":
+                qs = np.clip(q[pos], 0.0, 1.0)
+                gamma = np.sqrt(qs[:, I] * qs[:, J]).T   # (pairs, D)
+                Wsqrt = coherence2weight_sqrt(gamma, weight_func)
+                ts = estimate_timeseries_wls_batch(A, Y, Wsqrt)
+            elif method == "L1":
+                X = invert_l1_batch(A, Y, alpha=l1_alpha)
+                ts = np.zeros((n, Y.shape[1]), dtype=np.float64)
+                ts[1:] = X
+            else:
+                ts = estimate_timeseries_batch(A, Y)
+            qv = network_temporal_coherence(A, ts[1:], Y)
+            out_g.append(gidx)
+            out_n.append(np.full(gidx.shape[0], n, dtype=np.int32))
+            out_ts.append(ts.T.astype(np.float32))   # (D, n)
+            out_q.append(qv.astype(np.float32))
+        if not out_g:
             return
-        G = len(rows["doc_id"])
-        flat, offsets, off = [], [0], 0
-        for a in rows["ts_series"]:
-            flat.append(a)
-            off += len(a)
-            offsets.append(off)
+        gsel = np.concatenate(out_g)
+        n_hours = np.concatenate(out_n)
+        offsets = np.concatenate([[0], np.cumsum(n_hours)]).astype(np.int32)
+        flat = np.concatenate([m.reshape(-1) for m in out_ts])
+        take = pa.array(gsel)
         arrays = [
-            pa.array(rows["doc_id"], pa.string()),
-            pa.array(rows["source"], pa.string()),
-            pa.array(rows["bucket"], pa.int32()),
-            pa.array(rows["n_hours"], pa.int32()),
-            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                     pa.array(np.concatenate(flat))),
-            pa.array(np.array(rows["inv_quality"], dtype=np.float32)),
+            ids_at.take(take),
+            srcs_at.take(take),
+            pa.array(bk_at[gsel].astype(np.int32)),
+            pa.array(n_hours),
+            pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            pa.array(np.concatenate(out_q)),
         ]
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 

@@ -76,3 +76,61 @@ def test_l1_robust_to_outliers():
     err_l2 = np.abs(l2 - (TRUTH - TRUTH[0])).max()
     assert err_l1 < err_l2  # L1 beats L2 under outliers
     assert err_l1 < 0.25
+
+
+def test_coherence2weight_sqrt():
+    from miaplpy_spark.kernels.lstsq import coherence2weight_sqrt
+
+    # Fisher-information value at gamma=0.9, L=1: 2*0.81/0.19
+    w = coherence2weight_sqrt(np.array([0.9]), "fim", L=1)
+    np.testing.assert_allclose(w**2, [2 * 0.81 / 0.19], rtol=1e-12)
+    # monotone in coherence; epsilon clamp keeps 0 and 1 finite
+    g = np.array([0.0, 0.2, 0.5, 0.9, 1.0])
+    w = coherence2weight_sqrt(g, "var", L=4)
+    assert np.all(np.diff(w) >= 0) and np.isfinite(w).all()
+    np.testing.assert_allclose(coherence2weight_sqrt(g, "no"), 1.0)
+    np.testing.assert_allclose(coherence2weight_sqrt(np.array([0.5]), "coh"),
+                               np.sqrt(0.5))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        coherence2weight_sqrt(g, "huh")
+
+
+def test_wls_batch_matches_scalar_weighted():
+    from miaplpy_spark.kernels.lstsq import (
+        design_matrices, estimate_timeseries, estimate_timeseries_batch,
+        estimate_timeseries_wls_batch)
+    from miaplpy_spark.operators.network_inversion import sequential_pairs_idx
+
+    rng = np.random.RandomState(7)
+    n = 12
+    pairs = sequential_pairs_idx(n, 3)
+    A, _ = design_matrices(pairs, np.arange(n, dtype=float))
+    Y = rng.normal(0, 1, (len(pairs), 5))
+    W = rng.uniform(0.2, 3.0, (len(pairs), 5))
+    got = estimate_timeseries_wls_batch(A, Y, W)
+    for p in range(5):
+        exp = estimate_timeseries(A, Y[:, p], weight_sqrt=W[:, p])
+        np.testing.assert_allclose(got[:, p], exp, atol=1e-8)
+    # uniform weights == unweighted fast path
+    got_u = estimate_timeseries_wls_batch(A, Y, np.ones_like(W))
+    np.testing.assert_allclose(got_u, estimate_timeseries_batch(A, Y),
+                               atol=1e-8)
+
+
+def test_l1_batch_matches_scalar():
+    from miaplpy_spark.kernels.lstsq import (
+        design_matrices, invert_l1, invert_l1_batch)
+    from miaplpy_spark.operators.network_inversion import sequential_pairs_idx
+
+    rng = np.random.RandomState(11)
+    n = 10
+    pairs = sequential_pairs_idx(n, 3)
+    A, _ = design_matrices(pairs, np.arange(n, dtype=float))
+    truth = np.cumsum(rng.normal(0, 0.3, (n - 1, 3)), axis=0)
+    Y = A @ truth
+    Y[2, 1] += 3.0  # outlier in one pixel
+    got = invert_l1_batch(A, Y)
+    for p in range(3):
+        exp = invert_l1(A, Y[:, p])
+        np.testing.assert_allclose(got[:, p], exp, atol=1e-4)

@@ -47,3 +47,54 @@ def test_quality_degrades_with_noise(spark):
               "linked_phase array<float>")
     out = invert_network(df, CFG).toPandas()
     assert (out["inv_quality"] < 0.9).all()
+
+
+def _fake_tier(spark, truths, qualities):
+    rows = []
+    for doc, truth in truths.items():
+        for h, v in enumerate(truth):
+            rows.append((doc, "web", 0, h, [float(v)] * 10,
+                         float(qualities[doc][h])))
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, bucket int, hour_idx int, "
+              "linked_phase array<float>, quality float")
+
+
+def test_wls_downweights_corrupt_window(spark):
+    """A20 + weighted inversion end-to-end: one window's phase is
+    corrupted and flagged by low quality; the coherence->weight mapping
+    must pull the WLS solution toward truth vs the unweighted L2."""
+    rng = np.random.default_rng(3)
+    n = 20
+    truth = np.concatenate([[0.0], np.cumsum(rng.normal(0, 0.25, n - 1))])
+    series = truth.copy()
+    # corruption ~pi so that SOME pair diffs wrap and others don't: the
+    # rewrapped pair observations become mutually inconsistent, which
+    # is the regime where weighting matters (a consistent network — and
+    # uniformly-wrapped is still consistent up to a 2pi window offset —
+    # solves identically under any positive weights)
+    series[7] += 3.2
+    q = np.full(n, 0.99)
+    q[7] = 0.05                           # ...flagged by its quality
+    df = _fake_tier(spark, {"d0": series}, {"d0": q})
+
+    l2 = invert_network(df, CFG, method="L2").toPandas().iloc[0]
+    wls = invert_network(df, CFG, method="WLS").toPandas().iloc[0]
+    ref = truth - truth[0]
+    keep = np.arange(n) != 7              # window 7 itself is unknowable
+    err = lambda r: np.abs(np.asarray(r["ts_series"], dtype=float)
+                           - ref)[keep].mean()
+    assert err(wls) < err(l2) * 0.5, (err(wls), err(l2))
+
+
+def test_l1_method_recovers_truth(spark):
+    rng = np.random.default_rng(4)
+    n = 16
+    truth = np.concatenate([[0.0], np.cumsum(rng.normal(0, 0.1, n - 1))])
+    df = _fake_tier(spark, {"d0": truth}, {"d0": np.ones(n)})
+    out = invert_network(df, CFG, method="L1").toPandas().iloc[0]
+    ts = np.asarray(out["ts_series"], dtype=float)
+    np.testing.assert_allclose(ts, truth - truth[0], atol=0.05)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        invert_network(df, CFG, method="L3")
