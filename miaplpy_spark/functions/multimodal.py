@@ -80,15 +80,18 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     per-frame binary schema are the real contract)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame": []}
-            for _, r in pdf.iterrows():
-                p = bytes(r["payload"])
+            n = len(pdf)
+            frames = []
+            for p in pdf["payload"]:
+                p = bytes(p)
                 step = max(1, len(p) // n_frames)
-                for i in range(n_frames):
-                    rows["doc_id"].append(r["doc_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame"].append(p[i * step:(i + 1) * step])
-            yield pd.DataFrame(rows)
+                frames.extend(p[i * step:(i + 1) * step]
+                              for i in range(n_frames))
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_frames),
+                "frame_idx": np.tile(np.arange(n_frames), n),
+                "frame": frames,
+            })
 
     return (media.where(F.col("mime") == "video/mp4")
             .mapInPandas(kernel, FRAME_SCHEMA))

@@ -210,6 +210,30 @@ def invert_l1(R: np.ndarray, y: np.ndarray, alpha: float = 0.01,
     return x
 
 
+def estimate_timeseries_cov(G: np.ndarray, y_std: np.ndarray,
+                            min_redundancy: float = 1.0) -> np.ndarray:
+    """Timeseries covariance via linear error propagation (A18,
+    estimate_timeseries_cov dev/ifgram_inversion_L1L2.py:615-650):
+    ts_cov = G⁺ · diag(y_std²) · G⁺ᵀ; zeros when the network lacks
+    redundancy (same gate as the reference)."""
+    G = np.asarray(G, dtype=np.float64)
+    out = np.zeros((G.shape[1], G.shape[1]), dtype=np.float32)
+    if np.min(np.sum(G != 0.0, axis=0)) < min_redundancy:
+        return out
+    Gp = np.linalg.pinv(G)
+    std = np.asarray(y_std, dtype=np.float64).reshape(-1)
+    return ((Gp * (std ** 2)[None, :]) @ Gp.T).astype(np.float32)
+
+
+def estimate_timeseries_var_batch(G: np.ndarray,
+                                  Y_std: np.ndarray) -> np.ndarray:
+    """Batched diagonal of the propagated covariance — the per-date
+    variances for every pixel in one matmul: var = (G⁺∘G⁺) · y_std².
+    G (n_pair, n_date-1); Y_std (n_pair, n_px) -> (n_date-1, n_px)."""
+    Gp = np.linalg.pinv(np.asarray(G, dtype=np.float64))
+    return (Gp ** 2) @ (np.asarray(Y_std, dtype=np.float64) ** 2)
+
+
 def network_temporal_coherence(A: np.ndarray, ts_incr: np.ndarray,
                                Y: np.ndarray) -> np.ndarray:
     """Inversion quality: |Σ_k exp(i·(y_k − (A·X)_k))| / n_pair per

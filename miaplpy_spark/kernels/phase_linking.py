@@ -107,6 +107,60 @@ def emi_phase_batch(coh: np.ndarray, abscoh: np.ndarray) -> np.ndarray:
     return _rotate_to_ref(vecs[..., :, 0])
 
 
+def _pta_objective_grad(theta: np.ndarray, M: np.ndarray):
+    """PTA objective |log(v^H M v)| with v = exp(iθ) rotated to ref 0,
+    and its analytic gradient (optphase_cy, lib/utils.pyx:246-261).
+    Batched: theta (B, N), M (B, N, N) Hermitian -> (f (B,), g (B, N))."""
+    th = theta - theta[..., :1]
+    v = np.exp(1j * th)
+    Mv = np.einsum("bij,bj->bi", M, v, optimize=True)
+    u = np.einsum("bi,bi->b", v.conj(), Mv, optimize=True).real
+    u = np.maximum(u, 1e-12)
+    f = np.abs(np.log(u))
+    # du/dθ_k = 2 Im(v_k* (Mv)_k); df = sign(log u) du / u
+    du = 2.0 * (v.conj() * Mv).imag
+    g = np.sign(np.log(u))[:, None] * du / u[:, None]
+    g[:, 0] = 0.0  # reference phase pinned
+    return f, g
+
+
+def pta_phase_batch(coh: np.ndarray, abscoh: np.ndarray,
+                    gtol: float = 1e-6, max_iter: int = 200) -> np.ndarray:
+    """PTA estimator (A5, PTA_L_BFGS_cy lib/utils.pyx:288-309): start
+    from the EMI solution and refine the phases by minimizing
+    |log(v^H M v)| with M = inv(|Γ|)∘Γ — here a batched gradient
+    descent with backtracking line search instead of scipy's L-BFGS-B
+    (scipy is unavailable; the objective/gradient are identical).
+    coh (B, N, N); returns (B, N) complex64 unit phasors."""
+    vec0 = emi_phase_batch(coh, abscoh)
+    theta = np.angle(vec0).astype(np.float64)
+    inv_abs = np.linalg.inv(abscoh.astype(np.float64))
+    M = (inv_abs * coh).astype(np.complex128)
+    B = theta.shape[0]
+    step = np.full(B, 0.1)
+    f, g = _pta_objective_grad(theta, M)
+    for _ in range(max_iter):
+        gn = np.linalg.norm(g, axis=1)
+        active = gn > gtol
+        if not active.any():
+            break
+        cand = theta - step[:, None] * g
+        f_new, g_new = _pta_objective_grad(cand, M)
+        better = (f_new < f) & active
+        theta = np.where(better[:, None], cand, theta)
+        f = np.where(better, f_new, f)
+        g = np.where(better[:, None], g_new, g)
+        step = np.where(better, step * 1.2, np.where(active, step * 0.5, step))
+        if np.all(step < 1e-12):
+            break
+    return _rotate_to_ref(np.exp(1j * theta).astype(C64))
+
+
+def pta_phase(coh: np.ndarray, abscoh: np.ndarray, **kw) -> np.ndarray:
+    """Scalar convenience wrapper over the batched PTA."""
+    return pta_phase_batch(coh[None], abscoh[None], **kw)[0]
+
+
 def regularize_matrix(M: np.ndarray, max_tries: int = 100):
     """Diagonal loading until Cholesky succeeds: add 1e-6, 2e-6, 4e-6...
     cumulatively (<=100 tries). Returns (status, N): status 0 = PD.
@@ -256,9 +310,11 @@ def phase_linking_process(ccg_sample: np.ndarray, step: int, method: str,
 
     if method in ("EMI", "sequential_EMI", "PTA", "sequential_PTA", "SBW"):
         status, abscoh = regularize_matrix(np.abs(coh_mat))
+        est = (pta_phase if method in ("PTA", "sequential_PTA")
+               else emi_phase)
         if status == 0:
             try:
-                vec = emi_phase(coh_mat, abscoh)
+                vec = est(coh_mat, abscoh)
             except np.linalg.LinAlgError:
                 # passed the Cholesky probe but singular to float64
                 # inv — same EVD downgrade as the reference's fallback

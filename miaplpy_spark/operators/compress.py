@@ -112,20 +112,26 @@ def decompress_1h(df_blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = {k: [] for k in ("doc_id", "source", "bucket", "day_idx",
-                                   "hour_ts", "quality", "mean_ntok")}
-            for _, r in pdf.iterrows():
-                ts = decode_dod(bytes(r["ts_blob"]))
-                q = decode_gorilla(bytes(r["quality_blob"]))
-                m = decode_gorilla(bytes(r["mean_ntok_blob"]))
-                n = len(ts)
-                out["doc_id"].extend([r["doc_id"]] * n)
-                out["source"].extend([r["source"]] * n)
-                out["bucket"].extend([r["bucket"]] * n)
-                out["day_idx"].extend([r["day_idx"]] * n)
-                out["hour_ts"].extend(pd.to_datetime(ts, unit="s"))
-                out["quality"].extend(q)
-                out["mean_ntok"].extend(m)
-            yield pd.DataFrame(out)
+            # per-blob decode is inherent (one codec stream per row);
+            # everything row-repeated is np.repeat'd, not looped
+            ts_all, q_all, m_all, lens = [], [], [], []
+            for tsb, qb, mb in zip(pdf["ts_blob"], pdf["quality_blob"],
+                                   pdf["mean_ntok_blob"]):
+                ts = decode_dod(bytes(tsb))
+                ts_all.append(ts)
+                q_all.append(decode_gorilla(bytes(qb)))
+                m_all.append(decode_gorilla(bytes(mb)))
+                lens.append(len(ts))
+            lens = np.asarray(lens)
+            rep = lambda c: np.repeat(pdf[c].to_numpy(), lens)
+            yield pd.DataFrame({
+                "doc_id": rep("doc_id"),
+                "source": rep("source"),
+                "bucket": rep("bucket"),
+                "day_idx": rep("day_idx"),
+                "hour_ts": pd.to_datetime(np.concatenate(ts_all), unit="s"),
+                "quality": np.concatenate(q_all),
+                "mean_ntok": np.concatenate(m_all),
+            })
 
     return df_blobs.mapInPandas(kernel, DECOMPRESSED_SCHEMA)

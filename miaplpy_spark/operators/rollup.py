@@ -152,10 +152,12 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0,
     vecL = np.empty((cohL.shape[0], T), dtype=np.complex64)
     if method in ("EMI", "sequential_EMI", "PTA", "sequential_PTA", "SBW"):
         status, abscoh = pl.regularize_matrix_batch(np.abs(cohL).astype(np.float32))
+        est_batch = (pl.pta_phase_batch if method in ("PTA", "sequential_PTA")
+                     else pl.emi_phase_batch)
         ok = status == 0
         if ok.any():
             try:
-                vecL[ok] = pl.emi_phase_batch(cohL[ok], abscoh[ok])
+                vecL[ok] = est_batch(cohL[ok], abscoh[ok])
             except np.linalg.LinAlgError:
                 # a matrix can pass the float32 Cholesky probe yet be
                 # singular to float64 inv (e.g. duplicate rows from

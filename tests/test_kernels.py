@@ -228,3 +228,54 @@ def test_shp_gate_dispatch():
         shp.shp_gate("AD", n, n)
     with _pytest.raises(ValueError):
         shp.shp_gate("nope", n, n)
+
+
+def test_pta_refines_emi(sim):
+    """A5: PTA starts at EMI and must not worsen the |log(v^H M v)|
+    objective; on the simulated ensemble it recovers truth."""
+    truth, _, Z = sim
+    coh = pl.est_corr(Z)
+    status, abscoh = pl.regularize_matrix(np.abs(coh))
+    assert status == 0
+    vec_pta = pl.pta_phase(coh, abscoh)
+    vec_emi = pl.emi_phase(coh, abscoh)
+    M = (np.linalg.inv(abscoh.astype(np.float64)) * coh)
+
+    def obj(v):
+        v = np.exp(1j * (np.angle(v) - np.angle(v[0])))
+        return abs(np.log(max((v.conj() @ M @ v).real, 1e-12)))
+
+    assert obj(vec_pta) <= obj(vec_emi) + 1e-9
+    # phase recovery quality comparable to EMI
+    assert np.sqrt(np.mean(_phase_err(vec_pta, truth) ** 2)) < 0.25
+    # dispatch: method='PTA' reaches the PTA estimator
+    vec_disp, _, _ = pl.phase_linking_process(Z, 0, "PTA", False, 0)
+    np.testing.assert_allclose(np.angle(vec_disp), np.angle(vec_pta),
+                               atol=1e-6)
+
+
+def test_timeseries_cov_propagation():
+    """A18: ts_cov = G+ diag(std^2) G+T; identity-weight sanity via a
+    fully-determined chain network where propagation is exact."""
+    from miaplpy_spark.kernels.lstsq import (
+        design_matrices, estimate_timeseries_cov,
+        estimate_timeseries_var_batch)
+
+    # chain pairs (i, i+1): G is lower-triangular-ish, G+ recovers
+    # increments directly, so var(ts_k) = std_k^2
+    n = 6
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    G, _ = design_matrices(pairs, np.arange(n, dtype=float))
+    std = np.array([0.1, 0.2, 0.3, 0.4, 0.5])
+    cov = estimate_timeseries_cov(G, std)
+    assert cov.shape == (n - 1, n - 1)
+    # chain network: increment k depends only on obs 0..k
+    np.testing.assert_allclose(np.diag(cov),
+                               np.cumsum(std ** 2), rtol=1e-5)
+    # batch diag path agrees with the full-cov diagonal
+    var = estimate_timeseries_var_batch(G, std[:, None])
+    np.testing.assert_allclose(var[:, 0], np.diag(cov), rtol=1e-5)
+    # under-redundant network -> zeros (the reference's gate)
+    G2 = G.copy()
+    G2[:, 0] = 0.0
+    assert not estimate_timeseries_cov(G2, std).any()
