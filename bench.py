@@ -44,13 +44,26 @@ def _bench_cfg_spec():
 def prepare_input(spark, out_dir: str) -> int:
     """Materialize the bench observation table once (datagen is not
     what we measure). Stats-only path: token arrays are projected to
-    their stats JVM-side either way and never reach the kernel."""
-    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    their stats JVM-side either way and never reach the kernel.
+
+    The observation table is written STRING-FREE (doc_key instead of
+    doc_id/source, int16 token samples instead of float phases, no ts)
+    — the scaling-critical representation; the doc dimension goes to a
+    sibling path and is joined back onto the G-row tier output inside
+    the measured plan (attach_doc_dim)."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.datagen import (generate_doc_dim, generate_sequences,
+                                       prepare_observations)
 
     cfg, spec = _bench_cfg_spec()
     obs = prepare_observations(
         generate_sequences(spark, spec, cfg, with_tokens=False), cfg)
+    obs = (obs.withColumn("doc_key", F.xxhash64("doc_id"))
+              .drop("doc_id", "source", "ts"))
     obs.write.mode("overwrite").parquet(out_dir)
+    generate_doc_dim(spark, spec, cfg).write.mode("overwrite").parquet(
+        out_dir + "_dim")
     return spark.read.parquet(out_dir).count()
 
 
@@ -69,24 +82,31 @@ def run_cascade_timed(spark, input_dir: str) -> dict:
     import pyspark.sql.functions as F
 
     from miaplpy_spark.operators.fused import rollup_cascade_fused
-    from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+    from miaplpy_spark.operators.rollup import (attach_doc_dim, rollup_1d,
+                                                rollup_1h)
 
     cfg, _ = _bench_cfg_spec()
     obs = spark.read.parquet(input_dir)
+    dim = spark.read.parquet(input_dir + "_dim")
     n_obs = obs.count()
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     if fused:
-        # single Python pass emitting both tiers (operators/fused.py)
-        df = rollup_cascade_fused(obs, cfg)
+        # single Python pass emitting both tiers (operators/fused.py);
+        # the fused kernel keeps the strings-through-kernel shape
+        df = rollup_cascade_fused(
+            obs.join(F.broadcast(dim), "doc_key"), cfg)
         agg = (df.where(F.col("tier") == "1d")
                  .agg(F.count("*").alias("n_1d"),
                       F.sum("n_hours").alias("n_1h"),
                       F.sum("n_obs").alias("n_obs")))
     else:
+        # string-free core cascade; the doc-dim join back onto the
+        # G-row 1d output is INSIDE the measured plan
         df1d = rollup_1d(rollup_1h(obs, cfg), cfg, assume_partitioned=True)
-        agg = df1d.agg(F.count("*").alias("n_1d"),
-                       F.sum("n_hours").alias("n_1h"),
-                       F.sum("n_obs").alias("n_obs"))
+        agg = attach_doc_dim(df1d, dim).agg(
+            F.count("*").alias("n_1d"),
+            F.sum("n_hours").alias("n_1h"),
+            F.sum("n_obs").alias("n_obs"))
     s0, t0_total = _steal_pct()
     t0 = time.time()
     row = agg.collect()[0]

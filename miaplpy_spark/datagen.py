@@ -113,30 +113,42 @@ def generate_sequences(
     return df
 
 
+TOK_I16_OFFSET = 32768  # token-sample int16 bias: tok - 32768 ∈ int16 for V <= 65536
+
+
 def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:
     """Project raw rows to the compact per-slot observation the rollup
     kernel consumes — entirely JVM-side (whole-stage codegen; the UDF
     never sees token arrays):
 
     - token stats: n_tok, sum/min/max of tokens
-    - z_re/z_im: S-wide complex unit-phasor sample of the sequence,
-      z_k = exp(i·2π·tok_{k mod n_tok}/V) — the per-slot ensemble row
-      (the analog of one date's SHP sample vector).
+    - the S-wide ensemble sample of the sequence. TOKEN-SAMPLE
+      transport: the ensemble entry is z_k = exp(i·2π·tok_k/V), fully
+      determined by the token id, so the row carries the S raw token
+      samples as ``ztok`` array<smallint> (biased by TOK_I16_OFFSET;
+      2 bytes each) instead of S float32 phases — HALF the previous
+      phase-only payload through shuffle + the Python worker channel,
+      which BENCH/BASELINE.md measured as the scaling bottleneck. The
+      kernel rebuilds phi = tok·2π/V with the identical double ops, so
+      results are bit-equal. Falls back to float ``zphi`` when
+      vocab_size exceeds int16+bias range.
     """
     S, V = cfg.n_samples, cfg.vocab_size
     two_pi = 6.283185307179586
     idx = F.sequence(F.lit(0), F.lit(S - 1))
+    i16 = V <= 2 * TOK_I16_OFFSET
 
     def tok_at(i):
         # cycle when n_tok < S; element_at is 1-based
         return F.element_at(F.col("tokens"), (F.pmod(i, F.col("n_tok")) + 1).cast("int"))
 
-    # PHASE-ONLY transport: the per-slot ensemble entries are unit
-    # phasors by construction (z_k = exp(i·2π·tok_k/V)), so the row
-    # carries S angles, not 2S re/im floats — the dominant shuffle +
-    # worker-ingress payload halves; the kernel reconstitutes cos/sin
-    # in one vectorized NumPy call. (SURVEY §1.2: 'carry ... or pack
-    # phase-only'.)
+    def sample_col(tok_fn):
+        if i16:
+            return F.transform(idx, lambda i: (tok_fn(i) - TOK_I16_OFFSET)
+                               .cast("smallint")).alias("ztok")
+        return F.transform(idx, lambda i: (tok_fn(i) * two_pi / V)
+                           .cast("float")).alias("zphi")
+
     if "tokens" in df.columns:
         df = df.select(
             "doc_id", "slot", "ts", "source", "bucket", "n_tok",
@@ -144,23 +156,43 @@ def prepare_observations(df: DataFrame, cfg: EngineConfig = EngineConfig()) -> D
                         lambda a, t: a + t).alias("sum_tok"),
             F.array_min("tokens").alias("min_tok"),
             F.array_max("tokens").alias("max_tok"),
-            F.transform(idx, lambda i: (tok_at(i) * two_pi / V)
-                        .cast("float")).alias("zphi"),
+            sample_col(tok_at),
         )
     else:
-        # stats-only generation path: synthesize the phases directly
+        # stats-only generation path: synthesize the samples directly
         # from hashes (same distribution, no token materialization);
         # seed-tagged exactly like the token path so both paths stay
         # consistent under cfg.seed
-        ph = lambda i: (F.pmod(
+        tok_hash = lambda i: F.pmod(
             F.xxhash64(F.lit("tok" + str(cfg.seed)), F.col("doc_id"),
                        F.col("slot"), i),
-            F.lit(V)) * two_pi / V)
+            F.lit(V))
         df = df.select(
             "doc_id", "slot", "ts", "source", "bucket", "n_tok",
             (F.col("n_tok").cast("long") * F.lit((cfg.vocab_size - 1) // 2)).alias("sum_tok"),
             F.lit(0).alias("min_tok"),
             F.lit(cfg.vocab_size - 1).alias("max_tok"),
-            F.transform(idx, lambda i: ph(i).cast("float")).alias("zphi"),
+            sample_col(tok_hash),
         )
     return df
+
+
+def generate_doc_dim(spark: SparkSession, scale: str | ScaleSpec = "tiny",
+                     cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """The doc dimension (doc_key, doc_id, source) for a named scale —
+    one row per doc, same deterministic formulas as generate_sequences.
+    The rollup kernels never need the strings row-by-row: the cascade
+    runs string-free (doc_key only) and joins this dimension back onto
+    the G-row tier outputs (attach_doc_dim). At sandbox scale the join
+    broadcasts; a 10^12-doc deployment bucket-joins it co-located."""
+    spec = SCALES[scale] if isinstance(scale, str) else scale
+    seed = str(cfg.seed)
+    df = spark.range(0, spec.n_docs).select(
+        F.format_string("doc%08d", F.col("id")).alias("doc_id"))
+    thresholds = zipf_thresholds(len(cfg.sources), cfg.zipf_alpha)
+    u = _u("src" + seed, "doc_id")
+    src = F.lit(cfg.sources[-1])
+    for name, thr in reversed(list(zip(cfg.sources[:-1], thresholds[:-1]))):
+        src = F.when(u < thr, F.lit(name)).otherwise(src)
+    return df.select(F.xxhash64("doc_id").alias("doc_key"),
+                     "doc_id", src.alias("source"))

@@ -26,6 +26,7 @@ from ..kernels.gapfill import fill_dense_batch
 from .rollup import (
     _Carry,
     _concat,
+    _ensemble_phases,
     _extract,
     _group_starts,
     _link_batch,
@@ -45,14 +46,15 @@ FUSED_SCHEMA = (
 )
 
 
-def make_fused_kernel(cfg: EngineConfig):
+def make_fused_kernel(cfg: EngineConfig, tok_col: str = "zphi"):
     T, S, H = cfg.slots_per_hour, cfg.n_samples, cfg.hours_per_day
     spd = cfg.slots_per_day
+    V = cfg.vocab_size
     method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
     out_schema = _pa_schema(FUSED_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
-    list_cols = {"zphi": S}
+    list_cols = {tok_col: (S, np.int16 if tok_col == "ztok" else np.float32)}
 
     nulls = lambda typ, n: pa.nulls(n, _pa_type(typ))
 
@@ -73,7 +75,7 @@ def make_fused_kernel(cfg: EngineConfig):
         G = starts.shape[0]
         gid = np.cumsum(np.concatenate(
             [[True], (doc_key[1:] != doc_key[:-1]) | (hour[1:] != hour[:-1])])) - 1
-        phi = num["zphi"]
+        phi = _ensemble_phases(num, V)
         z = np.empty(phi.shape, dtype=np.complex64)
         np.cos(phi, out=z.real)
         np.sin(phi, out=z.imag)
@@ -215,9 +217,12 @@ def rollup_cascade_fused(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
     p = num_partitions or cfg.n_buckets
     if "doc_key" not in obs.columns:
         obs = obs.withColumn("doc_key", F.xxhash64("doc_id"))
+    tok_col = "ztok" if "ztok" in obs.columns else "zphi"
+    obs = obs.select("doc_id", "source", "doc_key", "slot", "bucket",
+                     "n_tok", "sum_tok", "min_tok", "max_tok", tok_col)
     out = (obs.repartition(p, "bucket")
               .sortWithinPartitions("doc_key", "slot")
-              .mapInArrow(make_fused_kernel(cfg), FUSED_SCHEMA))
+              .mapInArrow(make_fused_kernel(cfg, tok_col), FUSED_SCHEMA))
     return out.withColumn(
         "hour_ts",
         F.when(F.col("tier") == "1h", F.timestamp_seconds(

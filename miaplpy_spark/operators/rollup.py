@@ -73,10 +73,22 @@ ROLLUP_1D_SCHEMA = (
     "adjusted_phase array<float>, squeezed array<float>"
 )
 
+
+def _strip_strings(ddl: str) -> str:
+    """Core (string-free) variant of a tier DDL: the kernels emit
+    doc_key only; doc_id/source come back via attach_doc_dim."""
+    return ", ".join(p for p in ddl.split(", ")
+                     if not p.startswith(("doc_id ", "source ")))
+
+
+ROLLUP_1H_CORE_SCHEMA = _strip_strings(ROLLUP_1H_SCHEMA)
+ROLLUP_1D_CORE_SCHEMA = _strip_strings(ROLLUP_1D_SCHEMA)
+
 _PA_TYPES = {
     "string": pa.string(), "long": pa.int64(), "int": pa.int32(),
-    "double": pa.float64(), "float": pa.float32(),
+    "smallint": pa.int16(), "double": pa.float64(), "float": pa.float32(),
     "array<float>": pa.list_(pa.float32()),
+    "array<smallint>": pa.list_(pa.int16()),
 }
 
 
@@ -88,6 +100,10 @@ def _pa_schema(ddl: str) -> pa.Schema:
     return pa.schema(fields)
 
 
+TOK_I16_OFFSET = 32768  # must match datagen.TOK_I16_OFFSET
+TWO_PI = 6.283185307179586
+
+
 def _list_col(mat: np.ndarray) -> pa.Array:
     """(G, K) float32 -> Arrow list<float32> without per-row objects."""
     G, K = mat.shape
@@ -97,13 +113,25 @@ def _list_col(mat: np.ndarray) -> pa.Array:
     )
 
 
-def _flat_lists(col: pa.ChunkedArray | pa.Array, width: int, n: int) -> np.ndarray:
-    """list<float> column whose lists all have ``width`` -> (n, width)
-    float32 view of the flat value buffer (zero copy when possible)."""
+def _flat_lists(col: pa.ChunkedArray | pa.Array, width: int, n: int,
+                dtype=np.float32) -> np.ndarray:
+    """Fixed-width list column -> (n, width) view of the flat value
+    buffer (zero copy when possible)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    return np.ascontiguousarray(flat, dtype=np.float32).reshape(n, width)
+    return np.ascontiguousarray(flat, dtype=dtype).reshape(n, width)
+
+
+def _ensemble_phases(num: dict, vocab_size: int) -> np.ndarray:
+    """(n, S) float32 phases from whichever transport the row carries:
+    raw int16 token samples (``ztok``: phi = tok·2π/V with the same
+    double ops the float path used JVM-side — bit-equal results at half
+    the worker-channel bytes) or float32 phases (``zphi``)."""
+    if "ztok" in num:
+        tok = num["ztok"].astype(np.float64) + TOK_I16_OFFSET
+        return (tok * TWO_PI / vocab_size).astype(np.float32)
+    return num["zphi"]
 
 
 def _group_starts(key: np.ndarray, win: np.ndarray) -> np.ndarray:
@@ -197,27 +225,33 @@ class _Carry:
 
 
 def _extract(batch: pa.RecordBatch, num_cols: list[str],
-             list_cols: dict[str, int]) -> tuple[dict, dict]:
+             list_cols: dict[str, tuple], with_strings: bool = True
+             ) -> tuple[dict, dict | None]:
     n = batch.num_rows
     num = {}
     for c in num_cols:
         num[c] = batch.column(c).to_numpy(zero_copy_only=False)
-    for c, width in list_cols.items():
-        num[c] = _flat_lists(batch.column(c), width, n)
+    for c, (width, dtype) in list_cols.items():
+        num[c] = _flat_lists(batch.column(c), width, n, dtype)
+    if not with_strings:
+        return num, None
     strs = {c: batch.column(c) for c in ("doc_id", "source")}
     return num, strs
 
 
-def _concat(carry: _Carry | None, num: dict, strs: dict) -> tuple[dict, list]:
+def _concat(carry: _Carry | None, num: dict, strs: dict | None
+            ) -> tuple[dict, list | None]:
     """Merge carried rows in front of the current batch. Returns the
     merged numeric dict and a string lookup: an ordered list of
     (segment_length, strs_dict) used to materialize doc_id/source at
     arbitrary indices (carry segments hold Python lists, batch
-    segments hold Arrow arrays)."""
+    segments hold Arrow arrays). Lookup is None in string-free mode."""
     n = len(next(iter(num.values())))
     if carry is None:
-        return num, [(n, strs)]
+        return num, None if strs is None else [(n, strs)]
     merged = {k: np.concatenate([carry.num[k], num[k]]) for k in num}
+    if strs is None:
+        return merged, None
     carry_n = len(next(iter(carry.num.values())))
     return merged, [(carry_n, carry.strs), (n, strs)]
 
@@ -238,6 +272,8 @@ def _take_strs(lookup, idx: np.ndarray, col: str) -> list:
 
 def _slice_tail(num: dict, lookup, start: int, n: int) -> _Carry:
     tail_num = {k: v[start:] for k, v in num.items()}
+    if lookup is None:
+        return _Carry(tail_num, None)
     idx = np.arange(start, n)
     tail_strs = {c: _take_strs(lookup, idx, c) for c in ("doc_id", "source")}
     return _Carry(tail_num, tail_strs)
@@ -281,15 +317,17 @@ def _shp_present(phi_dense: np.ndarray, present: np.ndarray,
     return keep
 
 
-def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
-    T, S = cfg.slots_per_hour, cfg.n_samples
+def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
+                          tok_col: str = "zphi", with_strings: bool = True):
+    T, S, V = cfg.slots_per_hour, cfg.n_samples, cfg.vocab_size
     method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
     shp_filter, shp_test, shp_alpha = (cfg.shp_filter, cfg.shp_test,
                                        cfg.shp_alpha)
-    out_schema = _pa_schema(ROLLUP_1H_SCHEMA)
+    out_schema = _pa_schema(ROLLUP_1H_SCHEMA if with_strings
+                            else ROLLUP_1H_CORE_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
-    list_cols = {"zphi": S}
+    list_cols = {tok_col: (S, np.int16 if tok_col == "ztok" else np.float32)}
 
     def process(num: dict, lookup) -> pa.RecordBatch:
         n = num["doc_key"].shape[0]
@@ -302,10 +340,10 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
         gid = np.cumsum(np.concatenate(
             [[True], (doc_key[1:] != doc_key[:-1]) | (hour[1:] != hour[:-1])])) - 1
 
-        # reconstitute unit phasors from the phase-only transport —
+        # reconstitute unit phasors from the compact transport —
         # float32 cos/sin into a preallocated complex64 (np.exp(1j*x)
         # would silently run in complex128)
-        phi = num["zphi"]
+        phi = _ensemble_phases(num, V)
         z = np.empty(phi.shape, dtype=np.complex64)
         np.cos(phi, out=z.real)
         np.sin(phi, out=z.imag)
@@ -335,10 +373,15 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
 
         sq_packed = np.concatenate([squeezed.real, squeezed.imag], axis=1)
         _acc_bucket_counts(counts_acc, num["bucket"][starts])
-        arrays = [
-            pa.array(_take_strs(lookup, starts, "doc_id"), pa.string()),
-            pa.array(doc_key[starts], pa.int64()),
-            pa.array(_take_strs(lookup, starts, "source"), pa.string()),
+        arrays = []
+        if with_strings:
+            arrays.append(pa.array(_take_strs(lookup, starts, "doc_id"),
+                                   pa.string()))
+        arrays.append(pa.array(doc_key[starts], pa.int64()))
+        if with_strings:
+            arrays.append(pa.array(_take_strs(lookup, starts, "source"),
+                                   pa.string()))
+        arrays += [
             pa.array(num["bucket"][starts].astype(np.int32)),
             pa.array(hour[starts].astype(np.int32)),
             pa.array(n_obs),
@@ -358,7 +401,7 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            num, strs = _extract(batch, num_cols, list_cols)
+            num, strs = _extract(batch, num_cols, list_cols, with_strings)
             num, lookup = _concat(carry, num, strs)
             carry = None
             doc_key = num["doc_key"]
@@ -374,10 +417,26 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None):
             yield process(num_head, lookup)
         if carry is not None:
             num = carry.num
-            lookup = [(len(next(iter(num.values()))), carry.strs)]
+            lookup = (None if carry.strs is None else
+                      [(len(next(iter(num.values()))), carry.strs)])
             yield process(num, lookup)
 
     return kernel
+
+
+def attach_doc_dim(df_core: DataFrame, doc_dim: DataFrame,
+                   hint_broadcast: bool = True) -> DataFrame:
+    """Join doc_id/source back onto a string-free tier output. The
+    tier output has G rows (orders of magnitude below raw), so this is
+    a cheap post-kernel hash join that never touches the raw->Python
+    stream; broadcast by default (a 10^12-doc deployment disables the
+    hint and bucket-joins the dimension co-located instead)."""
+    dim = doc_dim.select("doc_key", "doc_id", "source")
+    if hint_broadcast:
+        dim = F.broadcast(dim)
+    rest = [c for c in df_core.columns if c != "doc_key"]
+    return (df_core.join(dim, "doc_key")
+            .select("doc_id", "doc_key", "source", *rest))
 
 
 def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
@@ -389,29 +448,49 @@ def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
     1d tier and the MERGE write (partitioning reuse, no second
     shuffle). hour_ts is attached JVM-side after the kernel.
 
+    The kernel ingress is explicitly projected: only the columns it
+    consumes cross the shuffle and the Python worker channel (``ts``
+    etc. are pruned here — mapInArrow ships whole rows, so Catalyst
+    cannot prune through it). If ``obs`` carries no doc_id/source
+    (string-free mode), the kernel emits the CORE schema (doc_key
+    only) — use attach_doc_dim to restore the strings on the G-row
+    output instead of streaming them per raw row.
+
     ``assume_partitioned=True`` elides even the first exchange for
     inputs written by sources.sequences.write_sequences under its
     bucketed-read contract (one sorted unsplit file per bucket)."""
     p = num_partitions or cfg.n_buckets
+    with_strings = "doc_id" in obs.columns
     if "doc_key" not in obs.columns:
+        if not with_strings:
+            raise ValueError("string-free input must carry doc_key")
         obs = obs.withColumn("doc_key", F.xxhash64("doc_id"))
+    tok_col = "ztok" if "ztok" in obs.columns else "zphi"
+    cols = ((["doc_id", "source"] if with_strings else [])
+            + ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
+               "min_tok", "max_tok", tok_col])
+    obs = obs.select(*cols)
     part = obs if assume_partitioned else (
         obs.repartition(p, "bucket").sortWithinPartitions("doc_key", "slot"))
-    out = part.mapInArrow(make_rollup_1h_kernel(cfg, counts_acc),
-                          ROLLUP_1H_SCHEMA)
+    out = part.mapInArrow(
+        make_rollup_1h_kernel(cfg, counts_acc, tok_col, with_strings),
+        ROLLUP_1H_SCHEMA if with_strings else ROLLUP_1H_CORE_SCHEMA)
     return out.withColumn(
         "hour_ts",
         F.timestamp_seconds(F.lit(cfg.epoch0)
                             + F.col("hour_idx").cast("long") * cfg.hour_seconds))
 
 
-def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None):
+def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
+                          with_strings: bool = True):
     H, S, T = cfg.hours_per_day, cfg.n_samples, cfg.slots_per_hour
     method = cfg.method
-    out_schema = _pa_schema(ROLLUP_1D_SCHEMA)
+    out_schema = _pa_schema(ROLLUP_1D_SCHEMA if with_strings
+                            else ROLLUP_1D_CORE_SCHEMA)
     num_cols = ["doc_key", "hour_idx", "bucket", "n_obs", "n_filled",
                 "sum_tok", "min_tok", "max_tok", "mean_ntok", "quality"]
-    list_cols = {"linked_phase": T, "squeezed": 2 * S}
+    list_cols = {"linked_phase": (T, np.float32),
+                 "squeezed": (2 * S, np.float32)}
 
     def process(num: dict, lookup) -> pa.RecordBatch:
         n = num["doc_key"].shape[0]
@@ -458,10 +537,15 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None):
 
         day_packed = np.concatenate([day_squeezed.real, day_squeezed.imag], axis=1)
         _acc_bucket_counts(counts_acc, num["bucket"][starts])
-        arrays = [
-            pa.array(_take_strs(lookup, starts, "doc_id"), pa.string()),
-            pa.array(doc_key[starts], pa.int64()),
-            pa.array(_take_strs(lookup, starts, "source"), pa.string()),
+        arrays = []
+        if with_strings:
+            arrays.append(pa.array(_take_strs(lookup, starts, "doc_id"),
+                                   pa.string()))
+        arrays.append(pa.array(doc_key[starts], pa.int64()))
+        if with_strings:
+            arrays.append(pa.array(_take_strs(lookup, starts, "source"),
+                                   pa.string()))
+        arrays += [
             pa.array(num["bucket"][starts].astype(np.int32)),
             pa.array(day[starts].astype(np.int32)),
             pa.array(n_hours),
@@ -484,7 +568,7 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None):
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            num, strs = _extract(batch, num_cols, list_cols)
+            num, strs = _extract(batch, num_cols, list_cols, with_strings)
             num, lookup = _concat(carry, num, strs)
             carry = None
             doc_key = num["doc_key"]
@@ -500,7 +584,8 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None):
             yield process(num_head, lookup)
         if carry is not None:
             num = carry.num
-            lookup = [(len(next(iter(num.values()))), carry.strs)]
+            lookup = (None if carry.strs is None else
+                      [(len(next(iter(num.values()))), carry.strs)])
             yield process(num, lookup)
 
     return kernel
@@ -518,19 +603,28 @@ def rollup_1d(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     (mapInArrow is narrow — it preserves both), so the second exchange
     + sort is elided entirely (partitioning reuse, SURVEY.md P2).
     Reading the 1h tier back from storage loses the ordering guarantee
-    across files — use the default shuffle path there."""
+    across files — use the default shuffle path there.
+
+    A string-free 1h input (CORE schema) stays string-free: both tier
+    kernels then never see a doc_id/source byte — attach_doc_dim joins
+    the strings onto the G-row outputs."""
     p = num_partitions or cfg.n_buckets
+    with_strings = "doc_id" in df_1h.columns
     if "doc_key" not in df_1h.columns:
+        if not with_strings:
+            raise ValueError("string-free input must carry doc_key")
         df_1h = df_1h.withColumn("doc_key", F.xxhash64("doc_id"))
-    cols = ["doc_id", "doc_key", "source", "bucket", "hour_idx", "n_obs",
-            "n_filled", "sum_tok", "min_tok", "max_tok", "mean_ntok",
-            "linked_phase", "squeezed", "quality"]
+    cols = ((["doc_id", "source"] if with_strings else [])
+            + ["doc_key", "bucket", "hour_idx", "n_obs", "n_filled",
+               "sum_tok", "min_tok", "max_tok", "mean_ntok",
+               "linked_phase", "squeezed", "quality"])
     part = df_1h.select(*cols)
     if not assume_partitioned:
         part = (part.repartition(p, "bucket")
                     .sortWithinPartitions("doc_key", "hour_idx"))
-    out = part.mapInArrow(make_rollup_1d_kernel(cfg, counts_acc),
-                          ROLLUP_1D_SCHEMA)
+    out = part.mapInArrow(
+        make_rollup_1d_kernel(cfg, counts_acc, with_strings),
+        ROLLUP_1D_SCHEMA if with_strings else ROLLUP_1D_CORE_SCHEMA)
     return out.withColumn(
         "day_ts",
         F.timestamp_seconds(F.lit(cfg.epoch0)

@@ -35,7 +35,13 @@ def _oracle_window(g, cfg):
     including the test_ps dispatch the patch loop applies per pixel."""
     T, S = cfg.slots_per_hour, cfg.n_samples
     sih = (g["slot"] % T).to_numpy()
-    z = np.exp(1j * np.stack(g["zphi"].to_numpy()).astype(np.float32))
+    if "ztok" in g:
+        from miaplpy_spark.operators.rollup import TOK_I16_OFFSET, TWO_PI
+        tok = np.stack(g["ztok"].to_numpy()).astype(np.float64) + TOK_I16_OFFSET
+        phi = (tok * TWO_PI / cfg.vocab_size).astype(np.float32)
+    else:
+        phi = np.stack(g["zphi"].to_numpy()).astype(np.float32)
+    z = np.exp(1j * phi)
     dense = np.zeros((1, T, S), dtype=np.complex64)
     present = np.zeros((1, T), dtype=bool)
     dense[0, sih] = z
@@ -181,14 +187,14 @@ def test_stats_only_datagen_matches_token_path(spark):
         generate_sequences(spark, spec, cfg, with_tokens=True), cfg)
     b = prepare_observations(
         generate_sequences(spark, spec, cfg, with_tokens=False), cfg)
-    pa = a.select("doc_id", "slot", "zphi").toPandas().sort_values(
+    pa = a.select("doc_id", "slot", "ztok").toPandas().sort_values(
         ["doc_id", "slot"]).reset_index(drop=True)
-    pb = b.select("doc_id", "slot", "zphi").toPandas().sort_values(
+    pb = b.select("doc_id", "slot", "ztok").toPandas().sort_values(
         ["doc_id", "slot"]).reset_index(drop=True)
     assert (pa["doc_id"] == pb["doc_id"]).all()
     import numpy as np
-    za = np.stack(pa["zphi"].to_numpy())
-    zb = np.stack(pb["zphi"].to_numpy())
+    za = np.stack(pa["ztok"].to_numpy())
+    zb = np.stack(pb["ztok"].to_numpy())
     assert np.array_equal(za, zb)
 
 
@@ -298,3 +304,79 @@ def test_shp_filter_excludes_outlier_slot(spark):
                         cfg_off).toPandas()
     got_off = np.asarray(out_off.iloc[0]["linked_phase"], dtype=np.float32)
     assert not np.allclose(np.exp(1j * got_off), np.exp(1j * got), atol=1e-4)
+
+
+def test_ztok_transport_bit_equal_to_zphi(spark):
+    """The int16 token-sample transport must produce BIT-IDENTICAL tier
+    output to the float32 phase transport (the kernel rebuilds
+    phi = tok*2pi/V with the same double ops the JVM used)."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.datagen import TOK_I16_OFFSET
+
+    cfg = EngineConfig(n_buckets=2, n_samples=8)
+    spec = ScaleSpec(n_docs=3, n_slots=60, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    assert "ztok" in obs.columns
+    two_pi = 6.283185307179586
+    obs_phi = obs.withColumn(
+        "zphi", F.transform("ztok", lambda t: (
+            (t.cast("int") + TOK_I16_OFFSET) * two_pi / cfg.vocab_size
+        ).cast("float"))).drop("ztok")
+    a = rollup_1h(obs, cfg).toPandas().sort_values(
+        ["doc_id", "hour_idx"]).reset_index(drop=True)
+    b = rollup_1h(obs_phi, cfg).toPandas().sort_values(
+        ["doc_id", "hour_idx"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ("n_obs", "sum_tok", "quality"):
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy())
+    np.testing.assert_array_equal(np.stack(a["linked_phase"].to_numpy()),
+                                  np.stack(b["linked_phase"].to_numpy()))
+    np.testing.assert_array_equal(np.stack(a["squeezed"].to_numpy()),
+                                  np.stack(b["squeezed"].to_numpy()))
+
+
+def test_string_free_core_path_matches(spark):
+    """String-free kernel ingress + attach_doc_dim == the strings-
+    through-kernel path, for both tiers (the scaling-path contract:
+    doc_id/source never cross the worker channel per raw row)."""
+    from miaplpy_spark.datagen import generate_doc_dim
+    from miaplpy_spark.operators.rollup import attach_doc_dim
+
+    cfg = EngineConfig(n_buckets=2, n_samples=8)
+    spec = ScaleSpec(n_docs=3, n_slots=120, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    dim = generate_doc_dim(spark, spec, cfg)
+
+    import pyspark.sql.functions as F
+
+    full_1h = rollup_1h(obs, cfg)
+    obs_core = (obs.withColumn("doc_key", F.xxhash64("doc_id"))
+                   .drop("doc_id", "source"))
+    core_1h = rollup_1h(obs_core, cfg)
+    assert "doc_id" not in core_1h.columns
+
+    key = ["doc_id", "hour_idx"]
+    a = full_1h.toPandas().sort_values(key).reset_index(drop=True)
+    b = (attach_doc_dim(core_1h, dim).toPandas()
+         .sort_values(key).reset_index(drop=True))
+    assert list(a.columns) == list(b.columns)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["source"] == b["source"]).all()
+    np.testing.assert_array_equal(np.stack(a["linked_phase"].to_numpy()),
+                                  np.stack(b["linked_phase"].to_numpy()))
+
+    # 1d stays string-free through the pipeline, joined once at the end
+    full_1d = rollup_1d(full_1h, cfg).toPandas().sort_values(
+        ["doc_id", "day_idx"]).reset_index(drop=True)
+    core_1d = attach_doc_dim(
+        rollup_1d(core_1h, cfg), dim).toPandas().sort_values(
+        ["doc_id", "day_idx"]).reset_index(drop=True)
+    assert list(full_1d.columns) == list(core_1d.columns)
+    np.testing.assert_array_equal(
+        full_1d["n_obs"].to_numpy(), core_1d["n_obs"].to_numpy())
+    np.testing.assert_array_equal(
+        np.stack(full_1d["adjusted_phase"].to_numpy()),
+        np.stack(core_1d["adjusted_phase"].to_numpy()))
