@@ -179,11 +179,14 @@ def scaling(input_dir: str | None = None) -> None:
             [sys.executable, __file__, "--prepare-only", input_dir],
             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
 
-    # interleave the two configs across rounds so slow host drift hits
-    # both sides equally; min-of-rounds per config defuses transient
-    # noisy-neighbor stalls
+    # three-point curve (N, 2N, 4N cores) so the fixed single-box tax
+    # is identifiable, not just the endpoint ratio. Interleave the
+    # configs palindromically so slow host drift hits all sides
+    # equally; min-of-rounds per config defuses transient stalls.
+    core_list = [int(c) for c in
+                 os.environ.get("BENCH_CORES", "8,16,32").split(",")]
     results = {}
-    for rnd, cores in enumerate((8, 32, 32, 8)):
+    for rnd, cores in enumerate(core_list + core_list[::-1]):
         out = subprocess.run(
             [sys.executable, __file__, "--cascade-only", input_dir, str(cores)],
             capture_output=True, text=True, check=True, cwd=os.path.dirname(__file__))
@@ -194,52 +197,62 @@ def scaling(input_dir: str | None = None) -> None:
             results[cores] = r
         print(f"round{rnd} local[{cores}]: {r}", file=sys.stderr)
 
-    thr8 = results[8]["raw_points_per_s"]
-    thr32 = results[32]["raw_points_per_s"]
-    eff = thr32 / (4 * thr8)
-    report = {
-        "local8": results[8], "local32": results[32],
-        "scaling_efficiency_8_to_32": round(eff, 3),
-    }
+    lo, hi = min(core_list), max(core_list)
+    thr = {c: results[c]["raw_points_per_s"] for c in core_list}
+    report = {f"local{c}": results[c] for c in core_list}
+    report[f"scaling_efficiency_{lo}_to_{hi}"] = round(
+        thr[hi] / ((hi / lo) * thr[lo]), 3)
+    for a, b in zip(core_list, core_list[1:]):
+        report[f"eff_{a}_to_{b}"] = round(thr[b] / ((b / a) * thr[a]), 3)
     print(json.dumps(report))
-    _write_bench_md(report)
+    _write_bench_md(report, core_list)
 
 
-def _write_bench_md(report: dict) -> None:
+def _write_bench_md(report: dict, core_list: list[int]) -> None:
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
-    r8, r32 = report["local8"], report["local32"]
-    eff = report["scaling_efficiency_8_to_32"]
+    lo, hi = min(core_list), max(core_list)
+    r0 = report[f"local{lo}"]
+    eff = report[f"scaling_efficiency_{lo}_to_{hi}"]
+    rows = "\n".join(
+        f"| local[{c}] | {r['t_total_s']} | {r['raw_points_per_s']:,} "
+        f"| {r['rolled_points_per_s']:,} | {r['raw_points_per_s']/c:,.0f} "
+        f"| {r.get('host_steal_pct')} |"
+        for c, r in ((c, report[f"local{c}"]) for c in core_list))
+    pair_effs = "; ".join(
+        f"{a}->{b}: {report[f'eff_{a}_to_{b}']}"
+        for a, b in zip(core_list, core_list[1:]))
     with open(md, "w") as f:
         f.write(f"""# BENCH — scaling evidence (north_rule)
 
 Identical cascade job (raw -> 1h -> 1d rollup, batched eigen kernels,
-single pipelined plan with partitioning reuse between tiers) on the
-identical input table ({r8['n_obs']:,} observation rows,
+single pipelined plan with partitioning reuse between tiers,
+string-free int16-token worker ingress + post-kernel doc-dim join) on
+the identical input table ({r0['n_obs']:,} observation rows,
 {BENCH_DOCS:,} docs x {BENCH_SLOTS} slots, {N_BUCKETS} buckets), run
-at two parallelism levels in fresh CPU-affinity-pinned JVMs.
-Reference's own measured 1->4 worker efficiency: 0.55-0.63
+at {len(core_list)} parallelism levels in fresh CPU-affinity-pinned
+JVMs. Reference's own measured 1->4 worker efficiency: 0.55-0.63
 (BASELINE.md).
 
 | cores | total (s) | raw points/s | rolled points/s | per-core raw pts/s | host steal%% |
 |---|---|---|---|---|---|
-| local[8]  | {r8['t_total_s']} | {r8['raw_points_per_s']:,} | {r8['rolled_points_per_s']:,} | {r8['raw_points_per_s']/8:,.0f} | {r8.get('host_steal_pct')} |
-| local[32] | {r32['t_total_s']} | {r32['raw_points_per_s']:,} | {r32['rolled_points_per_s']:,} | {r32['raw_points_per_s']/32:,.0f} | {r32.get('host_steal_pct')} |
+{rows}
 
-**Scaling efficiency 8 -> 32 cores (N -> 4N): {eff}**
-(target >= 0.8; efficiency = throughput_32 / (4 x throughput_8))
+**Scaling efficiency {lo} -> {hi} cores (N -> 4N): {eff}**
+(target >= 0.8; efficiency = throughput_{hi} / ({hi//lo} x throughput_{lo}))
+Per-step efficiencies: {pair_effs}.
 
 Methodology: input materialized once to parquet; each measurement is a
 fresh `python bench.py --cascade-only <dir> <cores>` subprocess pinned
 to exactly `cores` CPUs via sched_setaffinity (so the small
 configuration cannot leak JVM shuffle/GC threads onto spare cores);
-one warmup pass then best-of-3 per subprocess; the two configurations
-are interleaved across rounds and min-of-rounds is reported, because
-this sandbox's host shows intermittent CPU steal (recorded per run
-above). Time covers scan + shuffle + sort + Arrow transfer + batched
-NumPy eigendecompositions + both tier aggregations; not datagen and
-not tier writes.
+one warmup pass then best-of-3 per subprocess; the configurations are
+interleaved palindromically across rounds and min-of-rounds is
+reported, because this sandbox's host shows intermittent CPU steal
+(recorded per run above). Time covers scan + shuffle + sort + Arrow
+transfer + batched NumPy eigendecompositions + both tier aggregations
++ the doc-dim broadcast join; not datagen and not tier writes.
 """)
 
 
