@@ -151,9 +151,11 @@ def cascade_only(input_dir: str, cores: int) -> None:
         pass
     spark = _get_spark(cores)
     # steady-state: one warmup pass amortizes JVM/codegen/worker
-    # startup, then best-of-3 tames local-mode run-to-run variance
+    # startup, then best-of-N tames local-mode run-to-run variance
+    # (this sandbox's host shows minute-scale noisy-neighbor episodes)
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
     run_cascade_timed(spark, input_dir)
-    runs = [run_cascade_timed(spark, input_dir) for _ in range(3)]
+    runs = [run_cascade_timed(spark, input_dir) for _ in range(n_runs)]
     stats = min(runs, key=lambda r: r["t_total_s"])
     stats["cores"] = cores
     stats["all_totals_s"] = [r["t_total_s"] for r in runs]
