@@ -275,10 +275,14 @@ def headline() -> None:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
-    # engine cascade on the synthetic bench table
+    # engine cascade on the synthetic bench table — min-of-3 because
+    # this sandbox's host shows minute-scale noisy-neighbor episodes
+    # (steal% is recorded per run; a single draw can be 3x off)
     tmp = tempfile.mkdtemp(prefix="bench_obs_") + "/obs"
     prepare_input(spark, tmp)
-    stats = run_cascade_timed(spark, tmp)
+    runs = [run_cascade_timed(spark, tmp) for _ in range(3)]
+    stats = min(runs, key=lambda r: r["t_total_s"])
+    stats["all_totals_s"] = [r["t_total_s"] for r in runs]
     timings["engine_cascade"] = stats["t_total_s"]
 
     total = round(sum(timings.values()), 3)
