@@ -115,6 +115,9 @@ def single_reference_pairs(spark, sf_dir) -> DataFrame:
     days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
     w = Window.orderBy("d")
     idx = days.select("d", F.row_number().over(w).alias("i"))
+    # driver-side count of the DAY dimension only (tens of rows at any
+    # data scale — the fact table is never collected); a fully-lazy
+    # alternative is a count() window as in ministack_network's oracle
     n = idx.count()
     ref = idx.where(F.col("i") == (n + 1) // 2).select(F.col("d").alias("ref_day"))
     return (idx.crossJoin(F.broadcast(ref))

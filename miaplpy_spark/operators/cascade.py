@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import EngineConfig
 from ..sources.catalog import TierStore
 from .checkpoint import CheckpointLog
-from .rollup import rollup_1d, rollup_1h
+from .rollup import attach_doc_dim, rollup_1d, rollup_1h
 
 TIER_1H, TIER_1D = "rollup_1h", "rollup_1d"
 
@@ -99,16 +99,38 @@ def run_cascade(
     cfg: EngineConfig = EngineConfig(),
     input_id: str = "sequences",
     resume: bool = True,
+    doc_dim: DataFrame | None = None,
 ) -> dict:
     """Run both tier jobs; returns per-tier metrics. ``raw_obs`` is the
     output of datagen.prepare_observations (already JVM-side compact).
     Resumable: a rerun after partial failure recomputes only buckets
-    missing from the checkpoint log."""
+    missing from the checkpoint log.
+
+    ``doc_dim`` (doc_key, doc_id, source — datagen.generate_doc_dim or
+    a distinct over the source table) switches the tier kernels to the
+    string-free scaling path: doc_id/source never cross the Python
+    worker channel per raw row; they join onto the G-row tier outputs
+    just before each MERGE, so tier-table schemas are unchanged."""
     ckpt = CheckpointLog(store)
-    m1 = _run_tier(spark, TIER_1H, raw_obs, rollup_1h, store, ckpt, cfg,
+    if doc_dim is not None:
+        if "doc_key" not in raw_obs.columns:
+            raw_obs = raw_obs.withColumn("doc_key", F.xxhash64("doc_id"))
+        raw_obs = raw_obs.drop("doc_id", "source")
+
+        def fn_1h(inp, cfg, counts_acc=None):
+            return attach_doc_dim(
+                rollup_1h(inp, cfg, counts_acc=counts_acc), doc_dim)
+
+        def fn_1d(inp, cfg, counts_acc=None):
+            return attach_doc_dim(
+                rollup_1d(inp.drop("doc_id", "source"), cfg,
+                          counts_acc=counts_acc), doc_dim)
+    else:
+        fn_1h, fn_1d = rollup_1h, rollup_1d
+    m1 = _run_tier(spark, TIER_1H, raw_obs, fn_1h, store, ckpt, cfg,
                    input_id, resume)
     df_1h = store.read(spark, TIER_1H)
-    m2 = _run_tier(spark, TIER_1D, df_1h, rollup_1d, store, ckpt, cfg,
+    m2 = _run_tier(spark, TIER_1D, df_1h, fn_1d, store, ckpt, cfg,
                    input_id + ">" + m1["lineage"], resume)
     return {"raw->1h": m1, "1h->1d": m2}
 
