@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_embed_neardup": lambda s, d: similarity.cosine_near_dup_pairs(
             s, d, threshold=0.35),
         "q25_label_centroids": similarity.label_centroids,
+        "q38_lsh_neardup": similarity.lsh_near_dup_pairs,
         # non-SQL-expressible (rows-only checks)
         "q26_minhash_lsh": dedup.minhash_lsh_pairs,
         "q27_simhash_pairs": dedup.simhash_near_pairs,
@@ -250,9 +251,40 @@ def _q28_sql(n_queries: int = 20, k: int = 5, n_planes: int = 8,
     """
 
 
+def _q38_sql(threshold: float = 0.35, n_planes: int = 6,
+             dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_near_dup_pairs: identical literal
+    plane signs, same Hamming-1 probe set, exact cosine on candidates."""
+    from miaplpy_spark.functions.similarity import plane_signs
+    signs = plane_signs(n_planes, dim)
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(str(s) for s in signs[j])
+        + f"]) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(n_planes))
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(n_planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        pr AS (SELECT vec_id AS id1, v AS v1,
+                      unnest([bucket, {flips}]) AS bucket
+               FROM bk),
+        cand AS (SELECT DISTINCT id1, v1, b.vec_id AS id2, b.v AS v2
+                 FROM pr JOIN bk b ON pr.bucket = b.bucket
+                      AND id1 < b.vec_id),
+        s AS (SELECT id1, id2,
+                     round(list_dot_product(v1, v2) /
+                           (sqrt(list_dot_product(v1, v1)) *
+                            sqrt(list_dot_product(v2, v2))), 4) AS sim
+              FROM cand)
+        SELECT id1, id2, sim FROM s WHERE sim >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q26_minhash_lsh": _q26_sql(),
+        "q38_lsh_neardup": _q38_sql(),
         "q27_simhash_pairs": _q27_sql(),
         "q28_lsh_ann": _q28_sql(),
         "q01_tier_rollup_1h": """

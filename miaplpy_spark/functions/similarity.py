@@ -137,6 +137,34 @@ def lsh_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
             .select("qid", "nid", "sim", F.col("rk").cast("long").alias("rk")))
 
 
+def lsh_near_dup_pairs(spark, sf_dir, threshold: float = 0.35,
+                       n_planes: int = 6) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates meet only inside
+    an LSH bucket (plus Hamming-1 probe buckets for recall), exact
+    cosine runs on candidates only — the scale-safe replacement for
+    ``cosine_near_dup_pairs``' label-blocked all-pairs join (expected
+    candidate count n²/2^planes instead of n²/|labels|; planes are a
+    free knob, label cardinality is not)."""
+    e = _emb(spark, sf_dir)
+    bk = lsh_buckets(e, n_planes)
+    ebk = e.join(bk.select("vec_id", "bucket"), "vec_id")
+    a = ebk.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"),
+        F.explode(F.concat(
+            F.array(F.col("bucket")),
+            F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda j: F.col("bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), j).cast("long")))
+        )).alias("bucket"))
+    b = ebk.select(F.col("vec_id").alias("id2"),
+                   F.col("embedding").alias("v2"), "bucket")
+    cand = (a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
+             .select("id1", "v1", "id2", "v2").distinct())
+    cand = with_cosine(cand, "v1", "v2")
+    return (cand.select("id1", "id2", F.round("cos", 4).alias("sim"))
+            .where(F.col("sim") >= threshold))
+
+
 def label_centroids(spark, sf_dir) -> DataFrame:
     """Per-label centroid of the first 4 dimensions (array aggregation
     check shared with the DuckDB oracle)."""
