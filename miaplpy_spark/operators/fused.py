@@ -83,9 +83,9 @@ def make_fused_kernel(cfg: EngineConfig, tok_col: str = "zphi"):
         present = np.zeros((G, T), dtype=bool)
         dense[gid, sih] = z
         present[gid, sih] = True
-        re = fill_dense_batch(dense.real.astype(np.float64), present)
-        im = fill_dense_batch(dense.imag.astype(np.float64), present)
-        Z = (re + 1j * im).astype(np.complex64)
+        Z = np.empty(dense.shape, dtype=np.complex64)
+        Z.real = fill_dense_batch(dense.real, present)
+        Z.imag = fill_dense_batch(dense.imag, present)
         vec, quality, squeezed = _link_batch(Z, method, lag, ps_test=ps_test)
 
         ends = np.append(starts[1:], n)
@@ -136,9 +136,9 @@ def make_fused_kernel(cfg: EngineConfig, tok_col: str = "zphi"):
         dpres = np.zeros((Gd, H), dtype=bool)
         dsq[gid_d, hid] = squeezed
         dpres[gid_d, hid] = True
-        re = fill_dense_batch(dsq.real.astype(np.float64), dpres)
-        im = fill_dense_batch(dsq.imag.astype(np.float64), dpres)
-        SQ = (re + 1j * im).astype(np.complex64)
+        SQ = np.empty(dsq.shape, dtype=np.complex64)
+        SQ.real = fill_dense_batch(dsq.real, dpres)
+        SQ.imag = fill_dense_batch(dsq.imag, dpres)
         vec_d, quality_1d, day_squeezed = _link_batch(SQ, method)
         datum = np.angle(vec_d).astype(np.float32)
         lp_dense = np.zeros((Gd, H, T), dtype=np.float32)
