@@ -206,7 +206,8 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0,
     quality[link] = qualityL
 
     vm = np.exp(1j * np.angle(vec)).astype(np.complex64)
-    squeezed = np.einsum("gts,gt->gs", Z, vm.conj(), optimize=True) / np.sqrt(T)
+    # (G,1,T) @ (G,T,S) batched GEMV — same einsum, BLAS-dispatched
+    squeezed = (vm.conj()[:, None, :] @ Z)[:, 0, :] / np.sqrt(T)
     return vec, quality, squeezed.astype(np.complex64)
 
 
