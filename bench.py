@@ -189,11 +189,22 @@ def scaling(input_dir: str | None = None) -> None:
                  os.environ.get("BENCH_CORES", "8,16,32").split(",")]
     results = {}
     for rnd, cores in enumerate(core_list + core_list[::-1]):
-        out = subprocess.run(
-            [sys.executable, __file__, "--cascade-only", input_dir, str(cores)],
-            capture_output=True, text=True, check=True, cwd=os.path.dirname(__file__))
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("CASCADE_RESULT ")][-1]
+        line = None
+        for attempt in range(2):  # retry once: host-pressure JVM deaths
+            out = subprocess.run(
+                [sys.executable, __file__, "--cascade-only", input_dir,
+                 str(cores)],
+                capture_output=True, text=True, cwd=os.path.dirname(__file__))
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith("CASCADE_RESULT ")]
+            if out.returncode == 0 and lines:
+                line = lines[-1]
+                break
+            print(f"round{rnd} local[{cores}] attempt {attempt} failed "
+                  f"(rc={out.returncode}): {out.stderr[-800:]}",
+                  file=sys.stderr)
+        if line is None:
+            continue  # keep whatever rounds succeeded
         r = json.loads(line[len("CASCADE_RESULT "):])
         if cores not in results or r["t_total_s"] < results[cores]["t_total_s"]:
             results[cores] = r
