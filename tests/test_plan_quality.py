@@ -86,3 +86,24 @@ def test_incremental_raw_filter_prunes_on_ts(spark, tmp_path):
         (F.col("slot") / cfg.slots_per_hour).cast("int") >= boundary_h
     ).count()
     assert filt.count() == expected
+
+
+def test_core_cascade_plan_shape(spark):
+    """The string-free scaling path keeps the single-exchange pipeline:
+    one bucket exchange total, and the doc-dim restore is a BROADCAST
+    join on the G-row output (no extra shuffle)."""
+    from miaplpy_spark.datagen import generate_doc_dim
+    from miaplpy_spark.operators.rollup import (attach_doc_dim, rollup_1d,
+                                                rollup_1h)
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    spec = ScaleSpec(n_docs=2, n_slots=48, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
+    core = (obs.withColumn("doc_key", F.xxhash64("doc_id"))
+               .drop("doc_id", "source"))
+    dim = generate_doc_dim(spark, spec, cfg)
+    df = attach_doc_dim(
+        rollup_1d(rollup_1h(core, cfg), cfg, assume_partitioned=True), dim)
+    assert count_exchanges(df) == 1
+    assert broadcast_join_count(df) == 1
