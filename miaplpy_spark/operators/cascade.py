@@ -179,6 +179,7 @@ def run_cascade_incremental(
     raw_obs: DataFrame,
     store: TierStore,
     cfg: EngineConfig = EngineConfig(),
+    doc_dim: DataFrame | None = None,
 ) -> dict:
     """Update-mode incremental extension (the reference's T3/T4:
     update_or_skip_inversion + persisted squeezed carry,
@@ -193,12 +194,23 @@ def run_cascade_incremental(
     hour_idx >= boundary`; the parquet fallback composes the union and
     overwrites partitions."""
     out = {}
+    if doc_dim is not None:
+        # string-free scaling path (same contract as run_cascade):
+        # kernels run on doc_key; strings join onto tier-sized output
+        if "doc_key" not in raw_obs.columns:
+            raw_obs = raw_obs.withColumn("doc_key", F.xxhash64("doc_id"))
+        raw_obs = raw_obs.drop("doc_id", "source")
+        _1h = lambda inp, cfg: attach_doc_dim(rollup_1h(inp, cfg), doc_dim)
+        _1d = lambda inp, cfg: attach_doc_dim(
+            rollup_1d(inp.drop("doc_id", "source"), cfg), doc_dim)
+    else:
+        _1h, _1d = rollup_1h, rollup_1d
 
     # raw -> 1h
     wm_h = _read_watermark(spark, store, TIER_1H)
     boundary_h = max(wm_h, 0)
     new_obs = incremental_raw_filter(raw_obs, boundary_h, cfg)
-    fresh_1h = rollup_1h(new_obs, cfg)
+    fresh_1h = _1h(new_obs, cfg)
     if wm_h >= 0 and store.exists(spark, TIER_1H):
         # localCheckpoint materializes the old rows BEFORE the
         # overwrite touches their files (parquet fallback reads lazily;
@@ -221,7 +233,7 @@ def run_cascade_incremental(
     boundary_d = max(wm_d, 0)
     src = tier_1h.where((F.col("hour_idx") / cfg.hours_per_day).cast("int")
                         >= boundary_d)
-    fresh_1d = rollup_1d(src, cfg)
+    fresh_1d = _1d(src, cfg)
     if wm_d >= 0 and store.exists(spark, TIER_1D):
         old_d = (store.read(spark, TIER_1D)
                  .where(F.col("day_idx") < boundary_d)
