@@ -134,6 +134,98 @@ def ttest_ind_test(s1: np.ndarray, s2: np.ndarray, alpha: float) -> bool:
     return bool(welch_pvalue(s1, s2) >= alpha)
 
 
+# --- Anderson-Darling k=2 sample test (N4) ---------------------------------
+# Scholz & Stephens (1987), "K-Sample Anderson-Darling Tests", JASA 82.
+# The reference's ADtest_cy (/root/reference/src/miaplpy/lib/utils.pyx:
+# 1232-1240) keeps a neighbor when the interpolated significance level
+# is >= threshold. Everything below is the published midrank statistic
+# A2akN, its null normalization Tk, and the paper's Table-2 critical-
+# value interpolation - pure NumPy, vectorized over (B, N) pairs.
+
+_AD_SIG = np.array([0.25, 0.10, 0.05, 0.025, 0.01, 0.005, 0.001])
+# tm = b0 + b1/sqrt(m) + b2/m at m = k-1 = 1 (Scholz-Stephens Table 2)
+_AD_TM = (np.array([0.675, 1.281, 1.645, 1.960, 2.326, 2.573, 3.085])
+          + np.array([-0.245, 0.250, 0.678, 1.149, 1.822, 2.364, 3.615])
+          + np.array([-0.105, -0.305, -0.362, -0.391, -0.396, -0.345,
+                      -0.154]))
+_AD_POLY = np.polyfit(_AD_TM, np.log(_AD_SIG), 2)
+
+
+def ad_2samp_statistic(a_sorted: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
+    """Normalized two-sample Anderson-Darling statistic Tk for (B, N)
+    batches of SORTED same-length samples (midrank tie handling).
+    Vectorized like ecdf_distance_pairs: one stable merge per row, then
+    per-run quantities from cumsums gathered at run starts/ends."""
+    a_sorted = np.asarray(a_sorted, dtype=np.float64)
+    b_sorted = np.asarray(b_sorted, dtype=np.float64)
+    B, n = a_sorted.shape
+    N = 2 * n
+    allv = np.concatenate([a_sorted, b_sorted], axis=1)
+    order = np.argsort(allv, axis=1, kind="stable")
+    vals = np.take_along_axis(allv, order, axis=1)
+    from_a = order < n
+    cum_a = np.cumsum(from_a, axis=1)                      # a-count <= val
+
+    new_run = np.empty((B, N), dtype=bool)
+    new_run[:, 0] = True
+    new_run[:, 1:] = vals[:, 1:] != vals[:, :-1]
+    ends = np.empty((B, N), dtype=bool)
+    ends[:, -1] = True
+    ends[:, :-1] = new_run[:, 1:]
+    idx = np.arange(N)[None, :]
+    start = np.maximum.accumulate(np.where(new_run, idx, -1), axis=1)
+    run_len = idx - start + 1                              # l_j at run ends
+    cum_a_prev = np.take_along_axis(cum_a, np.maximum(start - 1, 0), axis=1)
+    cum_a_prev = np.where(start == 0, 0, cum_a_prev)
+
+    # At each run end: M_i = count of sample i <= Zstar_j, f_i = count
+    # of sample i == Zstar_j; midrank M_ai = M_i - f_i/2; pooled
+    # B_aj = (count < Zstar_j) + l_j/2.
+    M1 = cum_a.astype(np.float64)
+    f1 = M1 - cum_a_prev
+    M2 = (idx + 1.0) - M1
+    f2 = run_len - f1
+    Ma1 = M1 - f1 / 2.0
+    Ma2 = M2 - f2 / 2.0
+    Bj = (idx + 1.0) - run_len / 2.0
+    denom = Bj * (N - Bj) - N * run_len / 4.0
+    lj_N = run_len / float(N)
+    inner = (lj_N * (N * Ma1 - n * Bj) ** 2
+             + lj_N * (N * Ma2 - n * Bj) ** 2)
+    # denom == 0 only when a run spans the whole pool (all values
+    # identical in BOTH samples): zero contribution, perfect agreement.
+    safe = np.where(denom > 0, denom, 1.0)
+    contrib = np.where(ends & (denom > 0), inner / safe, 0.0)
+    A2akN = (N - 1.0) / N * contrib.sum(axis=1) / n
+
+    # Null mean k-1 = 1 and variance sigmaN^2 (paper eq. 4 at k=2).
+    inv = 1.0 / np.arange(1, N, dtype=np.float64)          # 1/1..1/(N-1)
+    h = inv.sum()
+    Hcum = np.cumsum(inv)
+    i_rng = np.arange(1, N - 1, dtype=np.float64)          # i = 1..N-2
+    g = float((((h - Hcum[:-1]) / (N - i_rng))).sum())
+    Hk = 2.0 / n
+    a_c = (4.0 * g - 6.0) + (10.0 - 6.0 * g) * Hk
+    b_c = (2.0 * g - 4.0) * 4 + 8.0 * h * 2 + (2.0 * g - 14.0 * h - 4.0) * Hk \
+        - 8.0 * h + 4.0 * g - 6.0
+    c_c = (6.0 * h + 2.0 * g - 2.0) * 4 + (4.0 * h - 4.0 * g + 6.0) * 2 \
+        + (2.0 * h - 6.0) * Hk + 4.0 * h
+    d_c = (2.0 * h + 6.0) * 4 - 4.0 * h * 2
+    sigma2 = (a_c * N ** 3 + b_c * N ** 2 + c_c * N + d_c) / (
+        (N - 1.0) * (N - 2.0) * (N - 3.0))
+    return (A2akN - 1.0) / np.sqrt(sigma2)
+
+
+def ad_2samp_pvalue(a_sorted: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
+    """Interpolated significance level for the normalized statistic:
+    quadratic in Tk through the Table-2 (log-sig, tm) points, clipped
+    to the table's [0.001, 0.25] range (the same floor/ceiling the
+    reference's scipy call reports outside the table)."""
+    tk = ad_2samp_statistic(a_sorted, b_sorted)
+    p = np.exp(np.polyval(_AD_POLY, tk))
+    return np.clip(p, 0.001, 0.25)
+
+
 def shp_keep_pairs(test: str, ref_sorted: np.ndarray,
                    tests_sorted: np.ndarray, alpha: float = 0.05) -> np.ndarray:
     """Row-wise SHP membership for (B, N) sorted sample pairs: True
@@ -146,9 +238,7 @@ def shp_keep_pairs(test: str, ref_sorted: np.ndarray,
     if test == "TTEST":
         return welch_pvalue(ref_sorted, tests_sorted) >= alpha
     if test == "AD":
-        raise NotImplementedError(
-            "AD k-sample test needs scipy.stats.anderson_ksamp "
-            "(unavailable here); use KS or TTEST")
+        return ad_2samp_pvalue(ref_sorted, tests_sorted) >= alpha
     raise ValueError(f"unknown shp test {test!r}")
 
 
@@ -170,9 +260,9 @@ def shp_gate(test: str, n1: int, n2: int, alpha: float = 0.05):
         return lambda ref, tests: welch_pvalue(
             np.broadcast_to(ref, tests.shape), tests) >= alpha
     if test == "AD":
-        raise NotImplementedError(
-            "AD k-sample test needs scipy.stats.anderson_ksamp "
-            "(unavailable here); use KS or TTEST")
+        return lambda ref, tests: ad_2samp_pvalue(
+            np.ascontiguousarray(np.broadcast_to(ref, tests.shape)),
+            tests) >= alpha
     raise ValueError(f"unknown shp test {test!r}")
 
 

@@ -219,15 +219,93 @@ def test_shp_gate_dispatch():
     same = np.sort(rng.normal(0, 1, n))
     far = np.sort(rng.normal(4, 1, n))
     tests = np.stack([same, far])
-    for name in ("KS", "TTEST"):
+    for name in ("KS", "TTEST", "AD"):
         gate = shp.shp_gate(name, n, n, alpha=0.05)
         keep = gate(ref, tests)
         assert keep[0] and not keep[1], name
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        shp.shp_gate("AD", n, n)
     with _pytest.raises(ValueError):
         shp.shp_gate("nope", n, n)
+
+
+def _ad_midrank_scalar(s1, s2):
+    """Independent scalar transcription of the Scholz-Stephens (1987)
+    midrank A2akN + Tk normalization (k=2), searchsorted style — the
+    oracle for the vectorized merge-based kernel."""
+    s1 = np.sort(np.asarray(s1, float))
+    s2 = np.sort(np.asarray(s2, float))
+    n = [len(s1), len(s2)]
+    Z = np.sort(np.concatenate([s1, s2]))
+    Zstar = np.unique(Z)
+    N = len(Z)
+    lj = (Z.searchsorted(Zstar, "right")
+          - Z.searchsorted(Zstar, "left")).astype(float)
+    Bj = Z.searchsorted(Zstar, "left") + lj / 2.0
+    A2 = 0.0
+    for i, s in enumerate((s1, s2)):
+        Mij = s.searchsorted(Zstar, "right").astype(float)
+        fij = Mij - s.searchsorted(Zstar, "left")
+        Maij = Mij - fij / 2.0
+        inner = lj / N * (N * Maij - n[i] * Bj) ** 2 / (
+            Bj * (N - Bj) - N * lj / 4.0)
+        A2 += inner.sum() / n[i]
+    A2 *= (N - 1.0) / N
+    H = sum(1.0 / ni for ni in n)
+    h = sum(1.0 / i for i in range(1, N))
+    g = sum(1.0 / ((N - i) * j)
+            for i in range(1, N - 1) for j in range(i + 1, N))
+    k = 2
+    a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * H
+    b = (2 * g - 4) * k**2 + 8 * h * k + (2 * g - 14 * h - 4) * H \
+        - 8 * h + 4 * g - 6
+    c = (6 * h + 2 * g - 2) * k**2 + (4 * h - 4 * g + 6) * k \
+        + (2 * h - 6) * H + 4 * h
+    d = (2 * h + 6) * k**2 - 4 * h * k
+    sigma2 = (a * N**3 + b * N**2 + c * N + d) / (
+        (N - 1.0) * (N - 2.0) * (N - 3.0))
+    return (A2 - (k - 1)) / np.sqrt(sigma2)
+
+
+def test_ad_statistic_matches_scalar_oracle():
+    """Vectorized AD Tk == independent searchsorted transcription of
+    the published formulas, with and without ties."""
+    rng = np.random.RandomState(7)
+    n = 25
+    pairs = [
+        (rng.normal(0, 1, n), rng.normal(0, 1, n)),
+        (rng.normal(0, 1, n), rng.normal(2, 1, n)),
+        (rng.randint(0, 6, n).astype(float),          # heavy ties
+         rng.randint(0, 6, n).astype(float)),
+        (np.repeat([1.0, 2.0], [10, 15]),             # cross-sample ties
+         np.repeat([1.0, 3.0], [12, 13])),
+    ]
+    a = np.sort(np.stack([p[0] for p in pairs]), axis=1)
+    b = np.sort(np.stack([p[1] for p in pairs]), axis=1)
+    tk = shp.ad_2samp_statistic(a, b)
+    for i, (s1, s2) in enumerate(pairs):
+        np.testing.assert_allclose(tk[i], _ad_midrank_scalar(s1, s2),
+                                   rtol=1e-10)
+    # symmetry
+    np.testing.assert_allclose(shp.ad_2samp_statistic(b, a), tk, rtol=1e-10)
+
+
+def test_ad_pvalue_behaviour():
+    """Significance behaves like the reference's anderson_ksamp use:
+    capped to [0.001, 0.25], monotone in separation, keeps identical
+    samples and rejects disjoint ones at alpha=0.05."""
+    rng = np.random.RandomState(11)
+    n = 40
+    ref = np.sort(rng.normal(0, 1, n))
+    shifts = [0.0, 0.5, 1.0, 4.0]
+    tests = np.stack([np.sort(ref + s) for s in shifts])
+    p = shp.ad_2samp_pvalue(
+        np.broadcast_to(ref, tests.shape).copy(), tests)
+    assert p[0] == 0.25                 # identical -> table ceiling
+    assert p[-1] == 0.001               # disjoint -> table floor
+    assert all(p[i] >= p[i + 1] for i in range(len(p) - 1))
+    keep = shp.shp_keep_pairs("AD", np.broadcast_to(ref, tests.shape).copy(),
+                              tests, alpha=0.05)
+    assert keep[0] and not keep[-1]
 
 
 def test_pta_refines_emi(sim):

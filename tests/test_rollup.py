@@ -275,10 +275,13 @@ def test_shp_filter_excludes_outlier_slot(spark):
     phi = rng.uniform(0, 2 * np.pi, (T, S)).astype(np.float32)
     phi[2] = rng.uniform(0, 0.3, S).astype(np.float32)  # planted outlier
 
-    # the gate itself: slot 2 excluded, everything else kept
+    # the gate itself: slot 2 excluded, everything else kept — under
+    # both the Welch (N5) and Anderson-Darling (N4) variants
     present = np.ones((1, T), dtype=bool)
-    keep = _shp_present(phi[None], present, "TTEST", cfg.shp_alpha)
-    assert not keep[0, 2] and keep[0, [t for t in range(T) if t != 2]].all()
+    for gate_test in ("TTEST", "AD"):
+        keep = _shp_present(phi[None], present, gate_test, cfg.shp_alpha)
+        assert not keep[0, 2], gate_test
+        assert keep[0, [t for t in range(T) if t != 2]].all(), gate_test
 
     rows = [{"doc_id": "d0", "slot": t, "source": "web", "bucket": 0,
              "n_tok": 8, "sum_tok": 100, "min_tok": 1, "max_tok": 50,
