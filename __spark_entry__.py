@@ -94,6 +94,13 @@ def _network_inversion(spark: SparkSession, sf_dir: str,
     return invert_network(rollup_1h(obs, cfg), cfg, method=method)
 
 
+def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-codec proof with a full DuckDB oracle: hourly event
+    aggregates -> DoD+Gorilla blobs -> decode -> identical values."""
+    from miaplpy_spark.operators.compress import codec_roundtrip_events
+    return codec_roundtrip_events(spark, sf_dir)
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return multimodal.extract_features(multimodal.attach_blob(docs))
@@ -146,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_sequence_cascade": lambda s, d: _canon_safe(
             _engine_cascade(s, d)),
         "q31_compressed_tier": _compressed_tier,
+        "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": lambda s, d: _canon_safe(
             _network_inversion(s, d)),
         "q36_weighted_inversion": lambda s, d: _canon_safe(
@@ -283,6 +291,13 @@ def _q38_sql(threshold: float = 0.35, n_planes: int = 6,
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q39_codec_roundtrip": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                   count(*) AS n_events,
+                   round(round(sum(value), 4) / count(*), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
         "q26_minhash_lsh": _q26_sql(),
         "q38_lsh_neardup": _q38_sql(),
         "q27_simhash_pairs": _q27_sql(),

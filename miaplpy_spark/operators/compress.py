@@ -107,6 +107,44 @@ def compress_1h(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
                  .mapInPandas(kernel, COMPRESSED_SCHEMA))
 
 
+def codec_roundtrip_events(spark, sf_dir: str,
+                           cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """Relational proof that the codec tier is lossless on real data:
+    the events table's hourly series (per event_type) goes through
+    compress_1h (DoD timestamps + two Gorilla double streams) and
+    decompress_1h, then re-emerges as (event_type, h, n_events,
+    avg_value) — byte-identical to computing the same aggregates
+    directly, because both codecs round-trip exact float64/int64 bit
+    patterns. The average divides the pre-rounded sum so the final
+    6-dp rounding is deterministic across engines (same rule as
+    q02)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type").alias("doc_id"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("int")
+             .alias("hour_idx"))
+        .agg(F.round(F.sum("value"), 4).alias("quality"),
+             F.count("*").cast("double").alias("mean_ntok"))
+        .withColumn("source", F.lit("events"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets))
+                     .cast("int"))
+        .withColumn("hour_ts",
+                    F.timestamp_seconds(F.col("hour_idx").cast("long") * 3600))
+    )
+    blobs = compress_1h(hourly, cfg)
+    back = decompress_1h(blobs)
+    return back.select(
+        F.col("doc_id").alias("event_type"),
+        F.floor(F.unix_timestamp("hour_ts") / 3600).cast("long").alias("h"),
+        F.col("mean_ntok").cast("long").alias("n_events"),
+        F.round(F.col("quality") / F.col("mean_ntok"), 6).alias("avg_value"),
+    )
+
+
 def decompress_1h(df_blobs: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
