@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_text_quality": text.text_quality,
         "q20_lang_profile": text.lang_profile,
         "q21_fingerprint_dups": text.fingerprint_dups,
+        "q40_bpe_token_count": text.bpe_token_count,
+        "q41_lang_id": text.lang_id_heuristic,
         "q22_shingle_jaccard": text.shingle_jaccard_pairs,
         # training-pipeline: similarity search
         "q23_embed_topk": similarity.brute_force_topk,
@@ -536,6 +538,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
             FROM (SELECT source, md5(lower(text)) AS fp FROM documents)
             GROUP BY 1
+        """,
+        "q40_bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                   round(len(regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]+|[^a-z0-9\s]')) * 1.0 /
+                         len(string_split(text, ' ')), 6) AS fertility
+            FROM documents
+        """,
+        "q41_lang_id": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['customer','join','column','batch','group','key'], x))) AS c_de,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['the','order','table','window','row','hash'], x))) AS c_en,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['slow','agg','merge','vector','value','query'], x))) AS c_es,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['scan','data','query','batch','small','line'], x))) AS c_fr,
+                       len(list_filter(string_split(text, ' '), x ->
+                           list_contains(['join','small','row','column','part','filter'], x))) AS c_zh
+                FROM documents),
+            m AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS top
+                  FROM s)
+            SELECT doc_id, lang,
+                   CASE WHEN c_de = top THEN 'de'
+                        WHEN c_en = top THEN 'en'
+                        WHEN c_es = top THEN 'es'
+                        WHEN c_fr = top THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   CAST(top AS BIGINT) AS top_hits,
+                   n_words
+            FROM m
         """,
         "q22_shingle_jaccard": """
             WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws

@@ -60,6 +60,70 @@ def lang_profile(spark, sf_dir) -> DataFrame:
                  F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_words")))
 
 
+# GPT-2-style pre-tokenizer shape without byte-level merges: letter
+# runs, digit runs, single non-space punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Deterministic marker-word profiles (the unigram reduction of an
+# n-gram language model: score = marker hits). Fixed literals so the
+# Spark plan and the SQL oracle share the exact classifier.
+LANG_MARKERS = {
+    "de": ("customer", "join", "column", "batch", "group", "key"),
+    "en": ("the", "order", "table", "window", "row", "hash"),
+    "es": ("slow", "agg", "merge", "vector", "value", "query"),
+    "fr": ("scan", "data", "query", "batch", "small", "line"),
+    "zh": ("join", "small", "row", "column", "part", "filter"),
+}
+
+
+def bpe_token_count(spark, sf_dir) -> DataFrame:
+    """Sub-word token counting with a BPE-ish regex pre-tokenizer:
+    tokens per doc, whitespace words per doc, and fertility
+    (tokens per word) — all JVM-side regexp_extract_all, no UDF."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")),
+                                F.lit(BPE_PATTERN), F.lit(0))
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        F.round(F.size(toks) / F.size(words), 6).alias("fertility"),
+    )
+
+
+def lang_id_heuristic(spark, sf_dir) -> DataFrame:
+    """Language-ID classifier: per-language marker-word hit counts,
+    argmax with alphabetical tiebreak. Integer scores throughout so
+    the decision is bit-deterministic across engines; the whole plan
+    is higher-order array functions (filter over split), no explode,
+    no shuffle — one narrow map over the scan."""
+    d = _docs(spark, sf_dir)
+    langs = sorted(LANG_MARKERS)
+    hits = {
+        lang: F.expr(
+            "size(filter(split(text, ' '), x -> x IN ({})))".format(
+                ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])))
+        for lang in langs
+    }
+    scored = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        *[hits[lang].cast("long").alias(f"c_{lang}") for lang in langs])
+    m = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = None
+    for lang in reversed(langs):
+        cond = F.col(f"c_{lang}") == m
+        pred = F.when(cond, lang) if pred is None else \
+            F.when(cond, lang).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang",
+        pred.alias("pred_lang"),
+        m.cast("long").alias("top_hits"),
+        "n_words",
+    )
+
+
 def fingerprint_dups(spark, sf_dir) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + exact-dup
     accounting per source — the exact-dedup operator."""
