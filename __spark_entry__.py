@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, threshold=0.35),
         "q25_label_centroids": similarity.label_centroids,
         "q38_lsh_neardup": similarity.lsh_near_dup_pairs,
+        "q42_ivf_ann": similarity.ivf_ann_topk,
         # non-SQL-expressible (rows-only checks)
         "q26_minhash_lsh": dedup.minhash_lsh_pairs,
         "q27_simhash_pairs": dedup.simhash_near_pairs,
@@ -291,8 +292,61 @@ def _q38_sql(threshold: float = 0.35, n_planes: int = 6,
     """
 
 
+def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 8,
+             n_probe: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of similarity.ivf_ann_topk: identical seeded
+    codebook fit (one Lloyd step, 6-dp centroids), identical rounded
+    squared-L2 assignment with smallest-cell tiebreak."""
+    d2 = ("round(list_dot_product(e.v, e.v)"
+          " - 2 * list_dot_product(e.v, {c})"
+          " + list_dot_product({c}, {c}), 6)")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS cell, v AS c FROM e
+                  WHERE vec_id < {n_cells}),
+        d0 AS (SELECT e.vec_id, e.v, s.cell,
+                      {d2.format(c="s.c")} AS d2
+               FROM e CROSS JOIN seeds s),
+        a0 AS (SELECT vec_id, v, cell FROM d0
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) = 1),
+        dims AS (SELECT cell, unnest(range(1, {dim + 1})) AS i,
+                        unnest(v) AS x FROM a0),
+        cent0 AS (SELECT cell, i, round(avg(x), 6) AS cx
+                  FROM dims GROUP BY 1, 2),
+        cent AS (SELECT cell, list(cx ORDER BY i) AS c
+                 FROM cent0 GROUP BY 1),
+        cf AS (SELECT s.cell, coalesce(ct.c, s.c) AS c
+               FROM seeds s LEFT JOIN cent ct USING (cell)),
+        d1 AS (SELECT e.vec_id, e.v, cf.cell,
+                      {d2.format(c="cf.c")} AS d2
+               FROM e CROSS JOIN cf),
+        a1 AS (SELECT vec_id, v, cell FROM d1
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) = 1),
+        probes AS (SELECT vec_id AS qid, v AS qv, cell FROM d1
+                   WHERE vec_id < {n_queries}
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cell) <= {n_probe}),
+        cand AS (SELECT p.qid, p.qv, a.vec_id AS nid, a.v AS nv
+                 FROM probes p JOIN a1 a ON p.cell = a.cell
+                      AND p.qid <> a.vec_id),
+        sims AS (SELECT qid, nid,
+                        round(list_dot_product(qv, nv) /
+                              (sqrt(list_dot_product(qv, qv)) *
+                               sqrt(list_dot_product(nv, nv))), 4) AS sim
+                 FROM cand),
+        r AS (SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, nid) AS rk FROM sims)
+        SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q42_ivf_ann": _q42_sql(),
         "q39_codec_roundtrip": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,

@@ -165,6 +165,107 @@ def lsh_near_dup_pairs(spark, sf_dir, threshold: float = 0.35,
             .where(F.col("sim") >= threshold))
 
 
+def _d2(vec_col, cent: list[float]):
+    """Rounded squared L2 distance ``|v|^2 - 2 v.c + |c|^2`` against a
+    literal centroid — the same sequential-fold formula the DuckDB
+    oracle evaluates, so the rounded result is engine-identical."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    c = F.array(*[F.lit(x) for x in cent])
+    vv = F.aggregate(F.transform(v, lambda x: x * x),
+                     F.lit(0.0), lambda a, x: a + x)
+    vc = F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
+                     F.lit(0.0), lambda a, x: a + x)
+    cc = float(sum(x * x for x in cent))
+    return F.round(vv - 2.0 * vc + F.lit(cc), 6)
+
+
+def ivf_train_centroids(spark, sf_dir, n_cells: int = 8,
+                        dim: int = 64) -> list[list[float]]:
+    """IVF codebook fit: seeds are the first ``n_cells`` embeddings,
+    followed by ONE Lloyd refinement (assign-to-nearest, per-cell
+    per-dim mean rounded to 6 dp). The codebook is O(cells x dim) —
+    a driver-side model like ``plane_signs``, broadcast as literals
+    into the assignment plan. Train touches the corpus once (one
+    narrow pass + one tiny shuffle on cell)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    seeds = [r["embedding"] for r in
+             e.where(F.col("vec_id") < n_cells)
+              .select("vec_id", "embedding")
+              .orderBy("vec_id").collect()]
+    seeds = [[float(x) for x in s] for s in seeds]
+    dists = e.select(
+        "vec_id", "embedding",
+        *[_d2(F.col("embedding"), seeds[j]).alias(f"d{j}")
+          for j in range(n_cells)])
+    cell = None
+    m = F.least(*[F.col(f"d{j}") for j in range(n_cells)])
+    for j in reversed(range(n_cells)):
+        cond = F.col(f"d{j}") == m
+        cell = F.when(cond, j) if cell is None else \
+            F.when(cond, j).otherwise(cell)
+    assigned = dists.select("vec_id", "embedding", cell.alias("cell"))
+    cent = (assigned.groupBy("cell")
+            .agg(*[F.round(F.avg(F.element_at("embedding", i + 1)), 6)
+                   .alias(f"c{i}") for i in range(dim)])
+            .orderBy("cell").collect())
+    out = list(seeds)  # empty cells keep their seed
+    for r in cent:
+        out[r["cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+    return out
+
+
+def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
+                 n_cells: int = 8, n_probe: int = 2) -> DataFrame:
+    """IVF approximate top-k — the quantizer-based scale path next to
+    the LSH one (lsh_ann_topk): every vector is assigned to its
+    nearest codebook centroid with a shuffle-free argmin expression
+    (the codebook is literal, so the corpus side is one narrow map);
+    each query searches only its ``n_probe`` nearest cells, exact
+    cosine runs on those candidates. At 100 TB the cell id is the
+    partition key: IVF lists are co-located, a probe reads n_probe/
+    n_cells of the data."""
+    from pyspark.sql import Window
+
+    cents = ivf_train_centroids(spark, sf_dir, n_cells)
+    e = _emb(spark, sf_dir)
+    dists = e.select(
+        "vec_id", "embedding",
+        *[_d2(F.col("embedding"), cents[j]).alias(f"d{j}")
+          for j in range(n_cells)])
+    cell = None
+    m = F.least(*[F.col(f"d{j}") for j in range(n_cells)])
+    for j in reversed(range(n_cells)):
+        cond = F.col(f"d{j}") == m
+        cell = F.when(cond, j) if cell is None else \
+            F.when(cond, j).otherwise(cell)
+    corpus = dists.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+        cell.cast("long").alias("cell"))
+
+    # query side: rank ALL cells by distance, keep the n_probe nearest
+    # (tiny: n_queries x n_cells rows)
+    qd = (dists.where(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv"),
+                  F.posexplode(F.array(
+                      *[F.col(f"d{j}") for j in range(n_cells)]))
+                  .alias("cell", "d2")))
+    wq = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (qd.withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= n_probe)
+              .select("qid", "qv", F.col("cell").cast("long").alias("cell")))
+
+    cand = (F.broadcast(probes).join(corpus, "cell")
+            .where(F.col("qid") != F.col("nid")))
+    cand = with_cosine(cand, "qv", "nv").withColumn("sim", F.round("cos", 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "nid", "sim", F.col("rk").cast("long").alias("rk")))
+
+
 def label_centroids(spark, sf_dir) -> DataFrame:
     """Per-label centroid of the first 4 dimensions (array aggregation
     check shared with the DuckDB oracle)."""

@@ -1,0 +1,39 @@
+"""ANN quality: the approximate paths must actually approximate the
+brute-force baseline, not just run (recall@k against
+brute_force_topk, the correctness baseline per SURVEY.md training-
+pipeline ops)."""
+
+import pytest
+
+from miaplpy_spark.functions import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    return {(r.qid, r.nid) for r in sim.brute_force_topk(spark, SF_DIR).collect()}
+
+
+def test_ivf_recall_beats_lsh(spark, truth):
+    """IVF (Voronoi cells over the label-clustered corpus) recovers
+    most true neighbors with a 2/8-cell probe; random-hyperplane LSH
+    on near-orthogonal vectors is the weaker approximation. Both
+    return a full top-k for every query."""
+    ivf = {(r.qid, r.nid) for r in sim.ivf_ann_topk(spark, SF_DIR).collect()}
+    lsh = {(r.qid, r.nid) for r in sim.lsh_ann_topk(spark, SF_DIR).collect()}
+    assert len(ivf) == len(truth) and len(lsh) == len(truth)
+    r_ivf = len(ivf & truth) / len(truth)
+    r_lsh = len(lsh & truth) / len(truth)
+    assert r_ivf >= 0.5, f"IVF recall {r_ivf}"
+    assert r_lsh >= 0.05, f"LSH recall {r_lsh}"
+    assert r_ivf > r_lsh
+
+
+def test_ivf_codebook_shape(spark):
+    cents = sim.ivf_train_centroids(spark, SF_DIR, n_cells=4)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    # refined centroids are 6-dp rounded (engine-parity contract)
+    for c in cents:
+        for x in c:
+            assert abs(x - round(x, 6)) < 1e-12
