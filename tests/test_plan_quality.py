@@ -88,6 +88,26 @@ def test_incremental_raw_filter_prunes_on_ts(spark, tmp_path):
     assert filt.count() == expected
 
 
+def test_text_ops_are_shuffle_free(spark):
+    """q40/q41 are single narrow maps over the documents scan: all
+    scoring is higher-order array expressions, zero exchanges."""
+    from miaplpy_spark.functions import text
+
+    assert count_exchanges(text.bpe_token_count(spark, SF)) == 0
+    assert count_exchanges(text.lang_id_heuristic(spark, SF)) == 0
+
+
+def test_ivf_probe_side_broadcasts(spark):
+    """IVF search joins the tiny probe set against the cell-assigned
+    corpus as a broadcast hash join — the corpus never shuffles for
+    the join (its only exchange is the final per-query top-k window,
+    bounded by n_queries x cell size)."""
+    from miaplpy_spark.functions import similarity as sim
+
+    q = sim.ivf_ann_topk(spark, SF)
+    assert broadcast_join_count(q) >= 1
+
+
 def test_core_cascade_plan_shape(spark):
     """The string-free scaling path keeps the single-exchange pipeline:
     one bucket exchange total, and the doc-dim restore is a BROADCAST
