@@ -344,9 +344,38 @@ def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 8,
     """
 
 
+def _q29_sql(n_features: int = 16) -> str:
+    """DuckDB twin of the multimodal feature path: the stub decoder is
+    sha256(payload) bytes -> repeated-digest uint32 (little-endian) ->
+    float32 in [0,1], so SQL reconstructs every feature from the hex
+    digest and replays _canon_safe's left-fold sum in the same order
+    (digest repeats after 8 features)."""
+    feats = []
+    for i in range(n_features):
+        o = (4 * i) % 32
+        b = [f"CAST(('0x' || substr(h, {2 * (o + j) + 1}, 2)) AS BIGINT)"
+             for j in range(4)]
+        v = f"({b[0]} + 256*{b[1]} + 65536*{b[2]} + 16777216*{b[3]})"
+        feats.append(f"CAST(CAST({v} / 4294967295.0 AS REAL) AS DOUBLE)")
+    fold = " + ".join(feats)
+    return f"""
+        WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                               WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                               ELSE 'video/mp4' END AS mime,
+                          sha256(text) AS h
+                   FROM documents)
+        SELECT doc_id, mime,
+               CAST({n_features} AS INT) AS features_len,
+               round(0.0 + {fold}, 2) AS features_sum
+        FROM m
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q42_ivf_ann": _q42_sql(),
+        "q29_multimodal_features": _q29_sql(),
         "q39_codec_roundtrip": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
