@@ -107,6 +107,68 @@ def compress_1h(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
                  .mapInPandas(kernel, COMPRESSED_SCHEMA))
 
 
+COLD_TIER = "rollup_1h_cold"
+TIER_1H = "rollup_1h"
+
+
+def apply_retention_1h(spark, store, day_boundary: int,
+                       cfg: EngineConfig = EngineConfig()) -> dict:
+    """Retention aging for the 1h tier: rows with ``day_idx <
+    day_boundary`` move into the compressed cold tier (one DoD+Gorilla
+    blob row per (doc, day) — ~24x fewer rows, summary series only;
+    the eigen ensembles age out, which IS the retention downsample)
+    and are dropped from the hot table.
+
+    Cold-tier MERGE is per (bucket, day_idx), so re-running retention
+    only rewrites newly-aged days (idempotent). The hot-table delete
+    follows the incremental path's materialize-then-overwrite
+    composition for the parquet fallback; an Iceberg deployment issues
+    ``DELETE FROM rollup_1h WHERE hour_idx < boundary`` instead — a
+    metadata-level partition drop when the table is partitioned by
+    (bucket, days(hour_ts))."""
+    from pyspark.sql import functions as F
+
+    H = cfg.hours_per_day
+    boundary_h = day_boundary * H
+    hot = store.read(spark, TIER_1H)
+    old = hot.where(F.col("hour_idx") < boundary_h)
+    fresh = hot.where(F.col("hour_idx") >= boundary_h)
+
+    blobs = compress_1h(old, cfg)
+    agg = blobs.agg(F.count("*").alias("n_blobs"),
+                    F.sum("n_points").alias("n_aged"),
+                    F.sum("raw_bytes").alias("raw_bytes"),
+                    F.sum("blob_bytes").alias("blob_bytes")).collect()[0]
+    if agg["n_blobs"]:
+        store.merge_partitions(blobs, COLD_TIER,
+                               partition_col=["bucket", "day_idx"])
+    # materialize the survivors BEFORE overwriting the files they are
+    # lazily read from (same protocol as run_cascade_incremental)
+    fresh = fresh.localCheckpoint(eager=True)
+    store.overwrite(fresh, TIER_1H, partition_col="bucket")
+    return {"n_aged": int(agg["n_aged"] or 0),
+            "n_blobs": int(agg["n_blobs"]),
+            "raw_bytes": int(agg["raw_bytes"] or 0),
+            "blob_bytes": int(agg["blob_bytes"] or 0)}
+
+
+def read_1h_tiered(spark, store, cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """Transparent read across retention tiers: hot 1h rows unioned
+    with decoded cold blobs, projected to the columns both tiers carry
+    (the cold tier keeps the summary series; ensembles exist only
+    while hot)."""
+    from pyspark.sql import functions as F
+
+    cols = ["doc_id", "source", "bucket", "hour_ts", "quality", "mean_ntok"]
+    hot = store.read(spark, TIER_1H).select(
+        *[F.col(c).cast("double").alias(c) if c in ("quality", "mean_ntok")
+          else F.col(c) for c in cols])
+    if not store.exists(spark, COLD_TIER):
+        return hot
+    cold = decompress_1h(store.read(spark, COLD_TIER)).select(*cols)
+    return hot.unionByName(cold)
+
+
 def codec_roundtrip_events(spark, sf_dir: str,
                            cfg: EngineConfig = EngineConfig()) -> DataFrame:
     """Relational proof that the codec tier is lossless on real data:

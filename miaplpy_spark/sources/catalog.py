@@ -71,6 +71,29 @@ class TierStore:
            .partitionBy(*cols)
            .parquet(self.path(table)))
 
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_col: str | list[str] = "bucket") -> None:
+        """Replace the WHOLE table (unlike merge_partitions, partitions
+        absent from ``df`` are dropped too — retention deletes need
+        this). Iceberg: createOrReplace snapshot commit; parquet
+        fallback: static-mode overwrite. Callers must materialize
+        ``df`` first (localCheckpoint) if it reads from this table."""
+        cols = ([partition_col] if isinstance(partition_col, str)
+                else list(partition_col))
+        if self.use_iceberg:
+            (df.writeTo(f"{self.namespace}.{table}")
+               .partitionedBy(*cols).createOrReplace())
+            return
+        if df.isEmpty():
+            # partitioned write of 0 rows leaves no schema-bearing
+            # files; a plain single-file empty write stays readable
+            df.coalesce(1).write.mode("overwrite").parquet(self.path(table))
+            return
+        (df.write.mode("overwrite")
+           .option("partitionOverwriteMode", "static")
+           .partitionBy(*cols)
+           .parquet(self.path(table)))
+
     def append(self, df: DataFrame, table: str) -> None:
         if self.use_iceberg:
             df.writeTo(f"{self.namespace}.{table}").append()
