@@ -116,8 +116,13 @@ def apply_retention_1h(spark, store, day_boundary: int,
     """Retention aging for the 1h tier: rows with ``day_idx <
     day_boundary`` move into the compressed cold tier (one DoD+Gorilla
     blob row per (doc, day) — ~24x fewer rows, summary series only;
-    the eigen ensembles age out, which IS the retention downsample)
-    and are dropped from the hot table.
+    the eigen ensembles age out, which IS the retention downsample).
+    The reference keeps only the squeezed/compressed history for
+    closed mini-stacks while the current stack stays full-resolution
+    (sequential_phase_linking_cy,
+    /root/reference/src/miaplpy/lib/utils.pyx:604-666); this operator
+    applies the same hot-window/compressed-history split to tier
+    storage.
 
     Cold-tier MERGE is per (bucket, day_idx), so re-running retention
     only rewrites newly-aged days (idempotent). The hot-table delete
