@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_single_reference": relational.single_reference_pairs,
         "q08_anti_join": relational.anti_join_users,
         "q34_ministack_network": relational.ministack_network,
+        "q43_delaunay_network": relational.delaunay_network,
         "q35_tolerance_asof": relational.tolerance_asof_pairs,
         # masks / filters / quality (§2.2, §2.5)
         "q09_masked_agg": relational.masked_agg,

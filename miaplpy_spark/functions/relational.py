@@ -126,6 +126,34 @@ def single_reference_pairs(spark, sf_dir) -> DataFrame:
                     F.datediff("d", "ref_day").cast("long").alias("dt_days")))
 
 
+def delaunay_network(spark, sf_dir, max_temporal_days: float = 14.0,
+                     max_perp: float = 30.0) -> DataFrame:
+    """J3 Delaunay short-baseline network over the events day dimension
+    (find_short_baselines.py:30-109, scipy.spatial.Delaunay at :62):
+    triangulate days in the (time, bperp) plane, keep edges under the
+    temporal/perpendicular thresholds. The date dimension is tiny at
+    ANY data scale (10^2 rows), so — like the reference — the
+    triangulation runs on the driver and the resulting pair list
+    broadcasts; only the day aggregation is distributed."""
+    import numpy as np
+
+    from ..kernels.delaunay import delaunay_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    days = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.round(F.avg("value"), 6).alias("bperp"))
+            .orderBy("d").collect())
+    d0 = days[0]["d"]
+    t = np.array([(r["d"] - d0).days for r in days], dtype=np.float64)
+    b = np.array([r["bperp"] for r in days], dtype=np.float64)
+    pairs = delaunay_pairs(t, b, max_temporal_days, max_perp)
+    rows = [(days[i]["d"], days[j]["d"], int(t[j] - t[i]),
+             float(round(abs(b[j] - b[i]), 6))) for i, j in pairs]
+    return spark.createDataFrame(
+        rows, "day1 timestamp, day2 timestamp, dt_days bigint, "
+              "bperp_diff double")
+
+
 def ministack_network(spark, sf_dir) -> DataFrame:
     """Mini-stacks network with inter-stack connectors (J4,
     find_mini_stacks /root/reference/src/miaplpy/find_short_baselines.py
