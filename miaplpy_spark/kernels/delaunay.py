@@ -28,6 +28,43 @@ def _circumcircle_contains(tri: np.ndarray, p: np.ndarray) -> bool:
     return det > 0 if o > 0 else det < 0
 
 
+def _orient(a, b, c) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+
+
+def _in_disk(allp: np.ndarray, n: int, tri: tuple, i: int) -> bool:
+    """In-circumdisk test with the super vertices treated SYMBOLICALLY
+    as points at infinity (indices >= n). A finite-size super triangle
+    is never 'far enough' for near-degenerate hulls (its vertices fall
+    inside the giant circumcircles of flat hull triangles and corrupt
+    the hull); the t -> infinity limits of the in-circle predicate are
+    exact half-plane tests instead:
+
+    - 1 super vertex, finite edge (a, b): the circumdisk tends to the
+      half-plane bounded by line(a, b) on the super vertex's side.
+    - 2 super vertices, finite vertex a: the disk tends to the
+      half-plane bounded by the line through a parallel to the
+      super-super direction, on the supers' side.
+    - 3 super vertices: the initial triangle; contains every point.
+    """
+    p = allp[i]
+    sup = [v for v in tri if v >= n]
+    if not sup:
+        return _circumcircle_contains(allp[list(tri)], p)
+    fin = [v for v in tri if v < n]
+    if len(sup) == 1:
+        a, b = allp[fin[0]], allp[fin[1]]
+        return _orient(a, b, p) * _orient(a, b, allp[sup[0]]) > 0
+    if len(sup) == 2:
+        a = allp[fin[0]]
+        s1, s2 = allp[sup[0]], allp[sup[1]]
+        v = s2 - s1
+        cp = v[0] * (p[1] - a[1]) - v[1] * (p[0] - a[0])
+        cs = v[0] * (s1[1] - a[1]) - v[1] * (s1[0] - a[0])
+        return cp * cs > 0
+    return True
+
+
 def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
     """Bowyer-Watson over (n, 2) points; returns index triangles."""
     pts = np.asarray(points, dtype=np.float64)
@@ -56,8 +93,7 @@ def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
     s0, s1, s2 = n, n + 1, n + 2
     tris: list[tuple[int, int, int]] = [(s0, s1, s2)]
     for i in range(n):
-        bad = [t for t in tris
-               if _circumcircle_contains(allp[list(t)], allp[i])]
+        bad = [t for t in tris if _in_disk(allp, n, t, i)]
         # boundary polygon of the bad region = edges appearing once
         edge_count: dict[tuple[int, int], int] = {}
         for t in bad:

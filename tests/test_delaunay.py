@@ -42,6 +42,44 @@ def test_empty_circumcircle_property_sampled():
             assert not _circumcircle_contains(tri, pts[k]), (t, k)
 
 
+def _exact_delaunay_edges(pts: np.ndarray) -> set:
+    """Oracle by definition: edge (a,b) is Delaunay iff some triangle
+    (a,b,c) has a circumcircle strictly empty of other points — the
+    same O(n^4) characterization the driver's q43 DuckDB oracle runs."""
+    n = pts.shape[0]
+    edges = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            for c in range(b + 1, n):
+                A, B, C = pts[a], pts[b], pts[c]
+                dd = 2 * (A[0] * (B[1] - C[1]) + B[0] * (C[1] - A[1])
+                          + C[0] * (A[1] - B[1]))
+                if abs(dd) < 1e-12:
+                    continue
+                sa, sb, sc = (A @ A), (B @ B), (C @ C)
+                ux = (sa * (B[1] - C[1]) + sb * (C[1] - A[1])
+                      + sc * (A[1] - B[1])) / dd
+                uy = (sa * (C[0] - B[0]) + sb * (A[0] - C[0])
+                      + sc * (B[0] - A[0])) / dd
+                r2 = (A[0] - ux) ** 2 + (A[1] - uy) ** 2
+                d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+                d2[[a, b, c]] = np.inf
+                if (d2 < r2).any():
+                    continue
+                edges.update({(a, b), (b, c), (a, c)})
+    return edges
+
+
+@pytest.mark.parametrize("seed,n", [(0, 12), (1, 20), (2, 30), (3, 25)])
+def test_matches_exact_empty_circumcircle_definition(seed, n):
+    """Bowyer-Watson output == the definitional Delaunay edge set
+    (guards super-triangle finiteness artifacts on skewed clouds; the
+    x-axis spread vs y-axis spread mirrors the (days, bperp) plane)."""
+    rng = np.random.default_rng(seed)
+    pts = np.column_stack([rng.uniform(0, 30, n), rng.uniform(40, 60, n)])
+    assert delaunay_edges(pts) == _exact_delaunay_edges(pts)
+
+
 def test_nearest_neighbor_edge_present():
     rng = np.random.default_rng(11)
     pts = rng.uniform(0, 50, (30, 2))
