@@ -242,13 +242,20 @@ def _q26_sql(n_perm: int = 32, bands: int = 8, k: int = 3,
     """
 
 
-def _q27_sql(nbits: int = 48, max_hamming: int = 12) -> str:
-    """DuckDB twin of dedup.simhash_near_pairs."""
+def _q27_sql(nbits: int = 48, max_hamming: int = 12,
+             n_bands: int = 3, band_bits: int = 16) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs: same 3 x 16-bit band
+    blocking (candidates agree on at least one band)."""
     sums = ", ".join(
         f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(nbits))
     pack = " + ".join(
         f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for j in range(nbits))
+    mask = (1 << band_bits) - 1
+    band_eq = " OR ".join(
+        f"((a.simhash >> {r * band_bits}) & {mask})"
+        f" = ((b2.simhash >> {r * band_bits}) & {mask})"
+        for r in range(n_bands))
     return f"""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                    FROM documents),
@@ -256,11 +263,10 @@ def _q27_sql(nbits: int = 48, max_hamming: int = 12) -> str:
                      CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
               FROM w),
         v AS (SELECT doc_id, {sums} FROM h GROUP BY 1),
-        s AS (SELECT doc_id, {pack} AS simhash FROM v),
-        b AS (SELECT doc_id, simhash, simhash >> {nbits - 16} AS blk FROM s)
+        s AS (SELECT doc_id, {pack} AS simhash FROM v)
         SELECT a.doc_id AS doc1, b2.doc_id AS doc2,
                CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
-        FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        FROM s a JOIN s b2 ON a.doc_id < b2.doc_id AND ({band_eq})
         WHERE bit_count(xor(a.simhash, b2.simhash)) <= {max_hamming}
     """
 

@@ -125,19 +125,46 @@ def simhash(df: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:
     return votes.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance, blocked on the top
-    16 bits (the standard rotate-and-block trick collapsed to one
-    block at sandbox scale; at 100 TB use 3 rotations x 16-bit
-    blocks)."""
+def simhash_candidates(s: DataFrame, n_bands: int = 3,
+                       band_bits: int = 16) -> DataFrame:
+    """Candidate pairs from multi-band blocking over a (doc_id,
+    simhash) DataFrame — the rotate-and-block family: the hash is cut
+    into ``n_bands`` disjoint ``band_bits``-wide bands and docs
+    agreeing EXACTLY on any band become candidates (pigeonhole: every
+    pair with Hamming < n_bands is guaranteed; near-dup pairs with
+    more differing bits are caught with high probability because their
+    flipped bits rarely hit all bands). One blocked equi-join per band
+    through a single posexplode — expected block population n/2^band_
+    bits per band, never an all-pairs join; a single-band variant
+    would both miss pairs differing inside its band and concentrate
+    n/2^16 docs per block."""
+    bands = F.array(*[
+        F.shiftrightunsigned("simhash", r * band_bits)
+         .bitwiseAND(F.lit((1 << band_bits) - 1))
+        for r in range(n_bands)])
+    b = s.select("doc_id", "simhash",
+                 F.posexplode(bands).alias("r", "blk"))
+    x, y = b.alias("x"), b.alias("y")
+    return (x.join(y, (F.col("x.r") == F.col("y.r"))
+                   & (F.col("x.blk") == F.col("y.blk"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc1"),
+                    F.col("y.doc_id").alias("doc2"),
+                    F.col("x.simhash").alias("h1"),
+                    F.col("y.simhash").alias("h2"))
+            .distinct())
+
+
+def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12,
+                       n_bands: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance over 3 x 16-bit band
+    blocks (union of three blocked joins, deduped on the id pair —
+    simhashes ride along as plain longs, so the distinct never
+    compares wide keys)."""
     d = _docs(spark, sf_dir)
-    s = simhash(d).withColumn(
-        "blk", F.shiftrightunsigned("simhash", SIMHASH_BITS - 16))
-    a, b = s.alias("a"), s.alias("b")
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc1"),
-                    F.col("b.doc_id").alias("doc2"),
-                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                    .cast("long").alias("hamming"))
+    cand = simhash_candidates(simhash(d), n_bands)
+    return (cand.select(
+                "doc1", "doc2",
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+                 .cast("long").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))

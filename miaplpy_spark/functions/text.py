@@ -147,18 +147,44 @@ def shingles(df: DataFrame, k: int = 3) -> DataFrame:
 
 
 def shingle_jaccard_pairs(spark, sf_dir, k: int = 2, threshold: float = 0.04,
-                          lang: str | None = "zh") -> DataFrame:
+                          lang: str | None = "zh",
+                          df_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within a language.
 
     Scale path: the shingle->doc inverted index IS the join key, so
-    only docs sharing at least one shingle ever meet (no cross join);
-    at 100 TB add the MinHash/LSH bucketing (dedup.minhash_lsh_pairs)
-    in front to bound the candidate set."""
+    only docs sharing at least one shingle ever meet (no cross join),
+    and stop-shingles are dropped by a document-frequency cap BEFORE
+    the self-join — a shingle appearing in f docs would otherwise emit
+    f^2 candidate rows, so one hot shingle ("in the") is a quadratic
+    straggler task at corpus scale. ``df_cap`` defaults to
+    max(100, 0.1% of docs): on the sandbox tables that is above every
+    observed df (output unchanged, verified by the driver oracle);
+    at 100 TB the capped shingles are exactly the non-discriminative
+    ones, so the Jaccard numerator loss is bounded and the denominator
+    (true shingle-set sizes, computed pre-cap) stays exact. For full
+    recall at scale, front with dedup.minhash_lsh_pairs to bound the
+    candidate set instead."""
     d = _docs(spark, sf_dir)
     if lang is not None:
         d = d.where(F.col("lang") == lang)
+    return shingle_jaccard_pairs_df(d, k, threshold, df_cap)
+
+
+def shingle_jaccard_pairs_df(d: DataFrame, k: int = 2,
+                             threshold: float = 0.04,
+                             df_cap: int | None = None) -> DataFrame:
+    """Core of shingle_jaccard_pairs over an explicit documents
+    DataFrame (doc_id, lang, text)."""
+    if df_cap is None:
+        # parquet-metadata count: the cap scales with corpus size
+        df_cap = max(100, int(0.001 * d.count()))
     sh = shingles(d, k).join(d.select("doc_id", "lang"), "doc_id")
+    # true per-doc shingle-set sizes BEFORE the cap: the Jaccard
+    # denominator stays exact even when hot shingles are dropped
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("sh", "lang").agg(F.count("*").alias("df"))
+    sh = sh.join(freq.where(F.col("df") <= df_cap).select("sh", "lang"),
+                 ["sh", "lang"])
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.lang") == F.col("b.lang"))
