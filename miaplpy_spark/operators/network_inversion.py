@@ -30,7 +30,7 @@ from ..kernels.lstsq import (
     invert_l1_batch,
     network_temporal_coherence,
 )
-from .rollup import _pa_schema
+from .rollup import _concat, _extract, _group_starts, _pa_schema, _slice_tail, _take_strs
 
 INVERSION_SCHEMA = (
     "doc_id string, source string, bucket int, n_hours int, "
@@ -75,43 +75,15 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
         q_col.cast("double").alias("q"))
 
     out_schema = _pa_schema(INVERSION_SCHEMA)
+    num_cols = ["doc_key", "hour_idx", "bucket", "theta", "q"]
 
-    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # accumulate whole partition: per-doc series are tiny (one
-        # scalar per hour) so partition state is bounded. Strings stay
-        # Arrow arrays end-to-end and are materialized ONLY at group
-        # starts (no per-row Python).
-        doc_key, hour, th, qu = [], [], [], []
-        ids, srcs, bks = [], [], []
-        for batch in batches:
-            doc_key.append(batch.column("doc_key").to_numpy())
-            hour.append(batch.column("hour_idx").to_numpy())
-            th.append(batch.column("theta").to_numpy())
-            qu.append(batch.column("q").to_numpy())
-            ids.append(batch.column("doc_id"))
-            srcs.append(batch.column("source"))
-            bks.append(batch.column("bucket").to_numpy())
-        if not doc_key:
-            return
-        dk = np.concatenate(doc_key)
-        hr = np.concatenate(hour)
-        t = np.concatenate(th)
-        q = np.concatenate(qu)
-        bk = np.concatenate(bks)
-        order = np.lexsort((hr, dk))
-        dk, hr, t, q = dk[order], hr[order], t[order], q[order]
-        starts = np.flatnonzero(np.concatenate([[True], dk[1:] != dk[:-1]]))
+    def process(num: dict, lookup) -> pa.RecordBatch | None:
+        dk = num["doc_key"]
+        hr = num["hour_idx"]
+        t = num["theta"]
+        q = num["q"]
+        starts = _group_starts(dk, dk)
         ends = np.append(starts[1:], dk.shape[0])
-        # group-start row positions in the ORIGINAL (pre-sort) layout:
-        # Arrow take materializes exactly G strings
-        orig_starts = order[starts]
-        ids_at = pa.concat_arrays([a.combine_chunks() if isinstance(
-            a, pa.ChunkedArray) else a for a in ids]).take(
-                pa.array(orig_starts))
-        srcs_at = pa.concat_arrays([a.combine_chunks() if isinstance(
-            a, pa.ChunkedArray) else a for a in srcs]).take(
-                pa.array(orig_starts))
-        bk_at = bk[orig_starts]
 
         by_n: dict[int, list[int]] = {}
         for g, (s, e) in enumerate(zip(starts, ends)):
@@ -147,24 +119,60 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
             out_ts.append(ts.T.astype(np.float32))   # (D, n)
             out_q.append(qv.astype(np.float32))
         if not out_g:
-            return
+            return None
         gsel = np.concatenate(out_g)
         n_hours = np.concatenate(out_n)
         offsets = np.concatenate([[0], np.cumsum(n_hours)]).astype(np.int32)
         flat = np.concatenate([m.reshape(-1) for m in out_ts])
-        take = pa.array(gsel)
+        g_starts = starts[gsel]
         arrays = [
-            ids_at.take(take),
-            srcs_at.take(take),
-            pa.array(bk_at[gsel].astype(np.int32)),
+            pa.array(_take_strs(lookup, g_starts, "doc_id"), pa.string()),
+            pa.array(_take_strs(lookup, g_starts, "source"), pa.string()),
+            pa.array(num["bucket"][g_starts].astype(np.int32)),
             pa.array(n_hours),
             pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
             pa.array(np.concatenate(out_q)),
         ]
-        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # batch-carry protocol (same as the rollup kernels): input is
+        # shuffle-sorted by (doc_key, hour_idx), so only the trailing
+        # — possibly incomplete — doc group is held between Arrow
+        # batches. Per-worker memory is O(one Arrow batch + one doc
+        # series), NOT O(partition): with few buckets and many docs
+        # the old accumulate-the-partition shape was the one kernel
+        # that could OOM a worker at 100x scale.
+        carry = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            num, strs = _extract(batch, num_cols, {}, True)
+            num, lookup = _concat(carry, num, strs)
+            carry = None
+            dk = num["doc_key"]
+            starts = _group_starts(dk, dk)
+            last = starts[-1]
+            n = dk.shape[0]
+            if last == 0:
+                carry = _slice_tail(num, lookup, 0, n)
+                continue
+            carry = _slice_tail(num, lookup, last, n)
+            out = process({k: v[:last] for k, v in num.items()}, lookup)
+            if out is not None:
+                yield out
+        if carry is not None:
+            num = carry.num
+            lookup = [(len(next(iter(num.values()))), carry.strs)]
+            out = process(num, lookup)
+            if out is not None:
+                yield out
 
     # partition by doc_key (not bucket): the inversion groups WHOLE
-    # docs, and under salt_by_day a doc's hourly rows span buckets
+    # docs, and under salt_by_day a doc's hourly rows span buckets.
+    # The in-partition sort moves the ordering work into the shuffle
+    # sorter so the kernel can stream with a bounded carry.
     p = num_partitions or cfg.n_buckets
     return (slim.repartition(p, "doc_key")
+                .sortWithinPartitions("doc_key", "hour_idx")
                 .mapInArrow(kernel, INVERSION_SCHEMA))
