@@ -334,34 +334,31 @@ def _q38_sql(threshold: float = 0.35, n_planes: int = 6,
     """
 
 
-def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 8,
-             n_probe: int = 2, dim: int = 64) -> str:
-    """DuckDB twin of similarity.ivf_ann_topk: identical seeded
-    codebook fit (one Lloyd step, 6-dp centroids), identical rounded
-    squared-L2 assignment with smallest-cell tiebreak."""
+def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 16,
+             n_probe: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of similarity.ivf_ann_topk: the codebook is a
+    driver-side sample model (similarity.fit_ivf_codebook — pure
+    NumPy, engine-independent), so the SAME 6-dp centroid literals are
+    embedded in both plans; assignment replicates the rounded
+    squared-L2 with smallest-cell tiebreak."""
+    import os
+
+    from miaplpy_spark.functions.similarity import fit_ivf_codebook
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+    cents = fit_ivf_codebook(sf_dir, n_cells, dim)
     d2 = ("round(list_dot_product(e.v, e.v)"
           " - 2 * list_dot_product(e.v, {c})"
-          " + list_dot_product({c}, {c}), 6)")
+          " + {cc}, 6)")
+    cells = " UNION ALL ".join(
+        "SELECT {j} AS cell, [{c}] AS c, CAST({cc} AS DOUBLE) AS cc".format(
+            j=j, c=", ".join(repr(x) for x in cents[j]),
+            cc=repr(float(sum(x * x for x in cents[j]))))
+        for j in range(n_cells))
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (SELECT vec_id AS cell, v AS c FROM e
-                  WHERE vec_id < {n_cells}),
-        d0 AS (SELECT e.vec_id, e.v, s.cell,
-                      {d2.format(c="s.c")} AS d2
-               FROM e CROSS JOIN seeds s),
-        a0 AS (SELECT vec_id, v, cell FROM d0
-               QUALIFY row_number() OVER (PARTITION BY vec_id
-                     ORDER BY d2, cell) = 1),
-        dims AS (SELECT cell, unnest(range(1, {dim + 1})) AS i,
-                        unnest(v) AS x FROM a0),
-        cent0 AS (SELECT cell, i, round(avg(x), 6) AS cx
-                  FROM dims GROUP BY 1, 2),
-        cent AS (SELECT cell, list(cx ORDER BY i) AS c
-                 FROM cent0 GROUP BY 1),
-        cf AS (SELECT s.cell, coalesce(ct.c, s.c) AS c
-               FROM seeds s LEFT JOIN cent ct USING (cell)),
+        cf AS ({cells}),
         d1 AS (SELECT e.vec_id, e.v, cf.cell,
-                      {d2.format(c="cf.c")} AS d2
+                      {d2.format(c="cf.c", cc="cf.cc")} AS d2
                FROM e CROSS JOIN cf),
         a1 AS (SELECT vec_id, v, cell FROM d1
                QUALIFY row_number() OVER (PARTITION BY vec_id

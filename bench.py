@@ -73,7 +73,7 @@ def _steal_pct():
     return p[7], sum(p)
 
 
-def run_cascade_timed(spark, input_dir: str) -> dict:
+def run_cascade_timed(spark, input_dir: str, shp_filter: bool = False) -> dict:
     """The measured job: read obs -> 1h tier -> 1d tier as ONE
     pipelined plan (the 1d stage consumes the 1h output without a
     second exchange — partitioning reuse). The timed action is a
@@ -86,6 +86,9 @@ def run_cascade_timed(spark, input_dir: str) -> dict:
                                                 rollup_1h)
 
     cfg, _ = _bench_cfg_spec()
+    if shp_filter:
+        from dataclasses import replace
+        cfg = replace(cfg, shp_filter=True)
     obs = spark.read.parquet(input_dir)
     dim = spark.read.parquet(input_dir + "_dim")
     n_obs = obs.count()
@@ -279,20 +282,32 @@ def headline() -> None:
         "q05_asof_next_event", "q15_pricing_summary", "q16_revenue_by_nation",
         "q19_text_quality", "q22_shingle_jaccard", "q23_embed_topk",
         "q26_minhash_lsh",
+        # scale-path ANN benched alongside its brute-force baseline so
+        # the plan that matters at 100 TB gets a trend line (q42 vs q23)
+        "q42_ivf_ann",
     ]
     # one untimed warmup action first: JVM/codegen/Arrow startup used
     # to land entirely inside q01's number (5+ s of the ~1 s query).
     # Steady-state timing is what a long-lived cluster session sees.
     qs[names[0]](spark, SF_DIR).count()
-    timings = {}
-    for name in names:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+    # min-of-3 PER QUERY, round-robin so a host noisy-neighbor episode
+    # (minute-scale on this box) cannot poison all samples of one
+    # query; per-round host steal%% is recorded so cross-round deltas
+    # can be read as signal or discarded
+    n_rounds = int(os.environ.get("BENCH_QUERY_ROUNDS", "3"))
+    samples = {name: [] for name in names}
+    round_steal = []
+    for _ in range(n_rounds):
+        s0, tot0 = _steal_pct()
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            samples[name].append(round(time.time() - t0, 3))
+        s1, tot1 = _steal_pct()
+        round_steal.append(round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 1))
+    timings = {name: min(v) for name, v in samples.items()}
 
-    # engine cascade on the synthetic bench table — min-of-3 because
-    # this sandbox's host shows minute-scale noisy-neighbor episodes
-    # (steal% is recorded per run; a single draw can be 3x off)
+    # engine cascade on the synthetic bench table — same min-of-3 rule
     tmp = tempfile.mkdtemp(prefix="bench_obs_") + "/obs"
     prepare_input(spark, tmp)
     runs = [run_cascade_timed(spark, tmp) for _ in range(3)]
@@ -300,13 +315,25 @@ def headline() -> None:
     stats["all_totals_s"] = [r["t_total_s"] for r in runs]
     timings["engine_cascade"] = stats["t_total_s"]
 
+    # SHP-gated cascade at the same scale: the KS membership gate's
+    # cost is the delta vs the plain cascade (q44 drives the gate for
+    # correctness at fixture scale; this measures it at bench scale)
+    shp_runs = [run_cascade_timed(spark, tmp, shp_filter=True)
+                for _ in range(3)]
+    shp_stats = min(shp_runs, key=lambda r: r["t_total_s"])
+    shp_stats["all_totals_s"] = [r["t_total_s"] for r in shp_runs]
+    timings["engine_cascade_shp"] = shp_stats["t_total_s"]
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_queries_plus_cascade_wall",
         "value": total, "unit": "sec", "queries": timings,
+        "queries_all_rounds": samples,
+        "host_steal_pct_per_round": round_steal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cascade": stats,
+        "cascade_shp": shp_stats,
     }))
     spark.stop()
 

@@ -135,6 +135,55 @@ def run_cascade(
     return {"raw->1h": m1, "1h->1d": m2}
 
 
+TIER_TS = "timeseries"
+
+
+def run_inversion_step(
+    spark: SparkSession,
+    store: TierStore,
+    cfg: EngineConfig = EngineConfig(),
+    method: str = "L2",
+    input_id: str = "rollup_1h",
+    resume: bool = True,
+) -> dict:
+    """Network-inversion lifecycle step: hot 1h tier -> per-doc
+    timeseries table, checkpointed per bucket exactly like the tier
+    jobs (flag-written-last; a rerun with all buckets completed
+    no-ops). The reference runs this as its own pipeline step
+    (miaplpyApp.py STEP_LIST 'ifgram_inversion' -> network_inversion.py)
+    after phase linking, which is the ordering this step list mirrors."""
+    from .network_inversion import invert_network
+
+    ckpt = CheckpointLog(store)
+    lineage = lineage_hash(cfg, TIER_TS + ":" + method, input_id)
+    df_1h = store.read(spark, TIER_1H)
+    # under salt_by_day a doc's hourly rows span buckets, so a
+    # per-bucket skip could feed partial docs to the solver — resume
+    # only when buckets are doc-pure
+    resume = resume and not cfg.salt_by_day
+    if resume:
+        done = ckpt.completed_keys(spark, TIER_TS, lineage)
+        n_done = done.count()
+        if n_done:
+            df_1h = df_1h.join(F.broadcast(done),
+                               df_1h["bucket"] == done["partition_key"],
+                               "left_anti")
+    else:
+        n_done = 0
+    inv = invert_network(df_1h, cfg, method=method).persist()
+    counts = sorted((int(r["bucket"]), int(r["n"])) for r in
+                    inv.groupBy("bucket").agg(F.count("*").alias("n"))
+                       .collect())
+    if counts:
+        store.merge_partitions(inv, TIER_TS, partition_col="bucket")
+    inv.unpersist()
+    ckpt.log_completion(spark, TIER_TS, lineage, counts)
+    return {"tier": TIER_TS, "lineage": lineage, "method": method,
+            "buckets_skipped": n_done,
+            "buckets_processed": len(counts),
+            "rows_written": int(sum(c for _, c in counts))}
+
+
 WATERMARK_TABLE = "tier_watermarks"
 
 

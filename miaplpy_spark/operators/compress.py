@@ -125,12 +125,22 @@ def apply_retention_1h(spark, store, day_boundary: int,
     storage.
 
     Cold-tier MERGE is per (bucket, day_idx), so re-running retention
-    only rewrites newly-aged days (idempotent). The hot-table delete
-    follows the incremental path's materialize-then-overwrite
-    composition for the parquet fallback; an Iceberg deployment issues
-    ``DELETE FROM rollup_1h WHERE hour_idx < boundary`` instead — a
-    metadata-level partition drop when the table is partitioned by
-    (bucket, days(hour_ts))."""
+    only rewrites newly-aged days (idempotent), and a rerun with
+    nothing left to age is a full no-op (no writes at all). The
+    hot-table delete follows the incremental path's
+    materialize-then-overwrite composition for the parquet fallback;
+    an Iceberg deployment issues ``DELETE FROM rollup_1h WHERE
+    hour_idx < boundary`` instead — a metadata-level partition drop
+    when the table is partitioned by (bucket, days(hour_ts)).
+
+    Crash window: the cold-merge -> hot-overwrite pair is not atomic
+    on the parquet fallback. A crash between the two writes leaves the
+    aged days in BOTH tiers, and read_1h_tiered would double-count
+    them until retention is re-run (the rerun re-compresses the same
+    days into the same (bucket, day_idx) cold partitions — idempotent
+    — and then completes the hot overwrite). An Iceberg deployment
+    closes the window by committing the cold MERGE and the hot DELETE
+    in one multi-table transaction."""
     from pyspark.sql import functions as F
 
     H = cfg.hours_per_day
@@ -139,7 +149,9 @@ def apply_retention_1h(spark, store, day_boundary: int,
     old = hot.where(F.col("hour_idx") < boundary_h)
     fresh = hot.where(F.col("hour_idx") >= boundary_h)
 
-    blobs = compress_1h(old, cfg)
+    # materialize the blobs ONCE: the metrics aggregation and the
+    # cold-tier MERGE would otherwise each recompute the compression
+    blobs = compress_1h(old, cfg).localCheckpoint(eager=True)
     agg = blobs.agg(F.count("*").alias("n_blobs"),
                     F.sum("n_points").alias("n_aged"),
                     F.sum("raw_bytes").alias("raw_bytes"),
@@ -147,10 +159,10 @@ def apply_retention_1h(spark, store, day_boundary: int,
     if agg["n_blobs"]:
         store.merge_partitions(blobs, COLD_TIER,
                                partition_col=["bucket", "day_idx"])
-    # materialize the survivors BEFORE overwriting the files they are
-    # lazily read from (same protocol as run_cascade_incremental)
-    fresh = fresh.localCheckpoint(eager=True)
-    store.overwrite(fresh, TIER_1H, partition_col="bucket")
+        # materialize the survivors BEFORE overwriting the files they
+        # are lazily read from (same protocol as run_cascade_incremental)
+        fresh = fresh.localCheckpoint(eager=True)
+        store.overwrite(fresh, TIER_1H, partition_col="bucket")
     return {"n_aged": int(agg["n_aged"] or 0),
             "n_blobs": int(agg["n_blobs"]),
             "raw_bytes": int(agg["raw_bytes"] or 0),

@@ -1,5 +1,16 @@
 #!/usr/bin/env python
-"""Production cascade driver — the spark-submit entry point.
+"""Production lifecycle driver — the spark-submit entry point.
+
+Step list (the reference's miaplpyApp.py:30-59 ``STEP_LIST`` +
+``--start``/``--dostep`` contract, grafted to the tier lifecycle):
+
+    cascade    raw -> 1h -> 1d checkpointed tier jobs
+               (or the watermark-incremental extension with
+               --incremental)
+    retention  hot 1h rows older than --retention-day move into the
+               DoD+Gorilla compressed cold tier
+    invert     hot 1h tier -> per-doc least-squares timeseries table
+               (checkpointed per bucket; --invert-method L2|WLS|L1)
 
 Cluster launch (north_rule):
 
@@ -11,11 +22,14 @@ Cluster launch (north_rule):
         --conf spark.executorEnv.OMP_NUM_THREADS=1 \
         scripts/run_cascade.py \
         --input <sequences table/path> --warehouse <tier warehouse> \
-        [--incremental] [--scale tiny|small|bench] [--buckets N]
+        --steps cascade,retention,invert [--incremental] \
+        [--scale tiny|small|bench] [--buckets N]
 
 With no --input, a deterministic synthetic sequences table at --scale
 is generated (sandbox mode). On a cluster, --warehouse is an Iceberg
 namespace (TierStore(use_iceberg=True)); locally it is a directory.
+Every step is individually resumable: completed (tier, bucket)
+checkpoints skip; a full-lifecycle rerun is a no-op.
 """
 
 from __future__ import annotations
@@ -29,8 +43,34 @@ from pyspark.sql import SparkSession
 
 from miaplpy_spark.config import SCALES, EngineConfig
 from miaplpy_spark.datagen import generate_sequences, prepare_observations
-from miaplpy_spark.operators.cascade import run_cascade, run_cascade_incremental
+from miaplpy_spark.operators.cascade import (
+    run_cascade,
+    run_cascade_incremental,
+    run_inversion_step,
+)
+from miaplpy_spark.operators.compress import apply_retention_1h
 from miaplpy_spark.sources.catalog import TierStore
+
+STEP_LIST = ["cascade", "retention", "invert"]
+
+
+def select_steps(steps: str, start: str | None, dostep: str | None) -> list[str]:
+    """--dostep X runs exactly one step; --start X drops everything
+    before X (the miaplpyApp resume contract); --steps bounds the list."""
+    chosen = [s.strip() for s in steps.split(",") if s.strip()]
+    bad = [s for s in chosen if s not in STEP_LIST]
+    if bad:
+        raise SystemExit(f"unknown steps {bad}; valid: {STEP_LIST}")
+    chosen = [s for s in STEP_LIST if s in chosen]  # canonical order
+    if dostep:
+        if dostep not in STEP_LIST:
+            raise SystemExit(f"unknown --dostep {dostep}")
+        return [dostep]
+    if start:
+        if start not in chosen:
+            raise SystemExit(f"--start {start} not in selected steps {chosen}")
+        chosen = chosen[chosen.index(start):]
+    return chosen
 
 
 def main(argv=None) -> int:
@@ -44,28 +84,60 @@ def main(argv=None) -> int:
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--iceberg", action="store_true")
+    ap.add_argument("--steps", default="cascade",
+                    help=f"comma subset of {STEP_LIST} (canonical order)")
+    ap.add_argument("--start", default=None,
+                    help="resume the step list from this step")
+    ap.add_argument("--dostep", default=None,
+                    help="run exactly one step")
+    ap.add_argument("--retention-day", type=int, default=None,
+                    help="age 1h days below this boundary into the cold "
+                         "tier (default: keep only the newest day hot)")
+    ap.add_argument("--invert-method", default="L2",
+                    choices=["L2", "WLS", "L1"])
     args = ap.parse_args(argv)
 
+    steps = select_steps(args.steps, args.start, args.dostep)
     spark = SparkSession.builder.appName("miaplpy_spark.cascade").getOrCreate()
     kw = {"salt_by_day": args.salt_by_day}
     if args.buckets:
         kw["n_buckets"] = args.buckets
     cfg = EngineConfig(**kw)
 
-    if args.input:
-        raw = spark.read.parquet(args.input)
-    else:
-        raw = generate_sequences(spark, args.scale, cfg)
-    obs = prepare_observations(raw, cfg)
-
     store = TierStore(args.warehouse, use_iceberg=args.iceberg)
+    input_id = args.input or f"synthetic:{args.scale}"
+    metrics: dict = {"steps": steps}
     t0 = time.time()
-    if args.incremental:
-        metrics = run_cascade_incremental(spark, obs, store, cfg)
-    else:
-        metrics = run_cascade(spark, obs, store, cfg,
-                              input_id=args.input or f"synthetic:{args.scale}",
-                              resume=not args.no_resume)
+
+    if "cascade" in steps:
+        if args.input:
+            raw = spark.read.parquet(args.input)
+        else:
+            raw = generate_sequences(spark, args.scale, cfg)
+        obs = prepare_observations(raw, cfg)
+        if args.incremental:
+            metrics["cascade"] = run_cascade_incremental(spark, obs, store, cfg)
+        else:
+            metrics["cascade"] = run_cascade(
+                spark, obs, store, cfg, input_id=input_id,
+                resume=not args.no_resume)
+
+    if "retention" in steps:
+        from pyspark.sql import functions as F
+        boundary = args.retention_day
+        if boundary is None:
+            max_day = (store.read(spark, "rollup_1h")
+                       .agg(F.max((F.col("hour_idx") / cfg.hours_per_day)
+                                  .cast("int"))).collect()[0][0])
+            boundary = int(max_day or 0)   # newest day stays hot
+        metrics["retention"] = apply_retention_1h(spark, store, boundary, cfg)
+        metrics["retention"]["day_boundary"] = boundary
+
+    if "invert" in steps:
+        metrics["invert"] = run_inversion_step(
+            spark, store, cfg, method=args.invert_method,
+            input_id=input_id, resume=not args.no_resume)
+
     metrics["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))
     return 0

@@ -1,0 +1,65 @@
+"""Lifecycle CLI: one command sequences cascade -> retention ->
+invert over the checkpoint log (the reference's miaplpyApp.py
+STEP_LIST + --start/--dostep contract), and a full rerun no-ops."""
+
+import json
+
+import pytest
+
+from scripts.run_cascade import STEP_LIST, main, select_steps
+
+
+def test_select_steps_contract():
+    assert select_steps("cascade,retention,invert", None, None) == STEP_LIST
+    # canonical order regardless of input order
+    assert select_steps("invert,cascade", None, None) == ["cascade", "invert"]
+    assert select_steps("cascade,retention,invert", "retention", None) == [
+        "retention", "invert"]
+    assert select_steps("cascade,retention,invert", None, "invert") == [
+        "invert"]
+    with pytest.raises(SystemExit):
+        select_steps("cascade,bogus", None, None)
+    with pytest.raises(SystemExit):
+        select_steps("cascade", "invert", None)
+
+
+def _run(capsys, args):
+    rc = main(args)
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_full_lifecycle_then_noop_rerun(spark, workdir, capsys):
+    args = ["--warehouse", workdir, "--scale", "tiny", "--buckets", "4",
+            "--steps", "cascade,retention,invert"]
+    m1 = _run(capsys, args)
+    assert m1["steps"] == STEP_LIST
+    assert m1["cascade"]["raw->1h"]["buckets_processed"] > 0
+    assert m1["retention"]["n_blobs"] > 0          # days aged to cold
+    assert m1["invert"]["rows_written"] > 0
+
+    m2 = _run(capsys, args)
+    # every step individually no-ops on rerun
+    assert m2["cascade"]["raw->1h"]["buckets_processed"] == 0
+    assert m2["cascade"]["1h->1d"]["buckets_processed"] == 0
+    assert m2["retention"]["n_blobs"] == 0
+    assert m2["invert"]["buckets_processed"] == 0
+    assert m2["invert"]["buckets_skipped"] > 0
+
+    # tiered read still sees every hour exactly once after aging
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.operators.compress import read_1h_tiered
+    from miaplpy_spark.sources.catalog import TierStore
+    store = TierStore(workdir)
+    cfg = EngineConfig(n_buckets=4)
+    tiered = read_1h_tiered(spark, store, cfg)
+    assert tiered.count() == tiered.select("doc_id", "hour_ts").distinct().count()
+
+
+def test_dostep_runs_single_step(spark, workdir, capsys):
+    m = _run(capsys, ["--warehouse", workdir, "--scale", "tiny",
+                      "--buckets", "4", "--dostep", "cascade"])
+    assert m["steps"] == ["cascade"]
+    assert "retention" not in m and "invert" not in m

@@ -17,15 +17,15 @@ def truth(spark):
 
 def test_ivf_recall_beats_lsh(spark, truth):
     """IVF (Voronoi cells over the label-clustered corpus) recovers
-    most true neighbors with a 2/8-cell probe; random-hyperplane LSH
-    on near-orthogonal vectors is the weaker approximation. Both
-    return a full top-k for every query."""
+    most true neighbors probing 4 of 16 cells (a 25% scan fraction);
+    random-hyperplane LSH on near-orthogonal vectors is the weaker
+    approximation. Both return a full top-k for every query."""
     ivf = {(r.qid, r.nid) for r in sim.ivf_ann_topk(spark, SF_DIR).collect()}
     lsh = {(r.qid, r.nid) for r in sim.lsh_ann_topk(spark, SF_DIR).collect()}
     assert len(ivf) == len(truth) and len(lsh) == len(truth)
     r_ivf = len(ivf & truth) / len(truth)
     r_lsh = len(lsh & truth) / len(truth)
-    assert r_ivf >= 0.5, f"IVF recall {r_ivf}"
+    assert r_ivf >= 0.8, f"IVF recall {r_ivf}"
     assert r_lsh >= 0.05, f"LSH recall {r_lsh}"
     assert r_ivf > r_lsh
 
@@ -37,3 +37,7 @@ def test_ivf_codebook_shape(spark):
     for c in cents:
         for x in c:
             assert abs(x - round(x, 6)) < 1e-12
+    # both seeding modes are deterministic and distinct
+    a = sim.fit_ivf_codebook(SF_DIR, n_cells=4, seeding="farthest")
+    assert a == sim.fit_ivf_codebook(SF_DIR, n_cells=4, seeding="farthest")
+    assert a != cents
