@@ -99,6 +99,10 @@ def sequential_pairs(spark, sf_dir) -> DataFrame:
     banded self-join of the ordered day dimension, connNum=3."""
     ev = _t(spark, sf_dir, "events")
     days = (ev.select(F.date_trunc("day", "ts").alias("d")).distinct())
+    # unpartitioned Window.orderBy collapses to ONE task — acceptable
+    # ONLY because this ranks the date DIMENSION (10^2 rows at any
+    # data scale, like the reference's driver-side date list); never
+    # copy this pattern onto a fact table
     w = Window.orderBy("d")
     idx = days.select("d", F.row_number().over(w).alias("i"))
     a, b = idx.alias("a"), idx.alias("b")
@@ -113,6 +117,8 @@ def single_reference_pairs(spark, sf_dir) -> DataFrame:
     date x all others — broadcast cross join minus self."""
     ev = _t(spark, sf_dir, "events")
     days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    # single-task window over the date dimension only — see the note
+    # in sequential_pairs
     w = Window.orderBy("d")
     idx = days.select("d", F.row_number().over(w).alias("i"))
     # driver-side count of the DAY dimension only (tens of rows at any

@@ -124,11 +124,16 @@ def lsh_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
                         lambda j: F.col("bucket").bitwiseXOR(
                             F.pow(F.lit(2.0), j).cast("long")))
         )).alias("bucket"))
+    # multi-probe overlap dedup keyed on the ID PAIR ONLY (groupBy +
+    # first), never on the embedding arrays: array-typed shuffle keys
+    # are needlessly wide at scale, and the vectors are functionally
+    # determined by the ids anyway
     cand = (probes.join(ebk.select(F.col("vec_id").alias("nid"),
                                    F.col("embedding").alias("nv"), "bucket"),
                         "bucket")
             .where(F.col("qid") != F.col("nid"))
-            .select("qid", "qv", "nid", "nv").distinct())
+            .groupBy("qid", "nid")
+            .agg(F.first("qv").alias("qv"), F.first("nv").alias("nv")))
     cand = with_cosine(cand, "qv", "nv").withColumn("sim", F.round("cos", 4))
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
@@ -158,8 +163,11 @@ def lsh_near_dup_pairs(spark, sf_dir, threshold: float = 0.35,
         )).alias("bucket"))
     b = ebk.select(F.col("vec_id").alias("id2"),
                    F.col("embedding").alias("v2"), "bucket")
+    # dedup on the id pair only (see lsh_ann_topk) — the old distinct
+    # shuffled both embedding arrays as part of the key
     cand = (a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
-             .select("id1", "v1", "id2", "v2").distinct())
+             .groupBy("id1", "id2")
+             .agg(F.first("v1").alias("v1"), F.first("v2").alias("v2")))
     cand = with_cosine(cand, "v1", "v2")
     return (cand.select("id1", "id2", F.round("cos", 4).alias("sim"))
             .where(F.col("sim") >= threshold))

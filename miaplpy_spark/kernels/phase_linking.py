@@ -52,6 +52,21 @@ def cov2corr(cov: np.ndarray) -> np.ndarray:
     return corr.astype(C64)
 
 
+def est_cov(ccg: np.ndarray) -> np.ndarray:
+    """Unnormalized sample covariance C = Z Z^H / S — the reference's
+    ``est_cov_py`` twin of est_corr (normalization-free path used by
+    its simulation harness, lib/utils.pyx:374-383)."""
+    return ((ccg @ ccg.conj().T) / ccg.shape[1]).astype(C64)
+
+
+def est_cov_batch(Z: np.ndarray) -> np.ndarray:
+    """Batched covariance (B, N, S) -> (B, N, N): est_corr_batch
+    without the correlation normalization (est_cov_py,
+    lib/utils.pyx:374-383)."""
+    S = Z.shape[2]
+    return ((Z @ Z.conj().transpose(0, 2, 1)) / S).astype(C64)
+
+
 def est_corr_batch(Z: np.ndarray) -> np.ndarray:
     """Batched correlation: Z is (B, N, S) complex -> (B, N, N).
 

@@ -249,9 +249,9 @@ def shp_gate(test: str, n1: int, n2: int, alpha: float = 0.05):
 
     KS    — two-sample KS distance against the ks_lut critical value.
     TTEST — Welch t-test, keep when p >= alpha.
-    AD    — Anderson-Darling k-sample: requires scipy's anderson_ksamp
-            critical-value tables (absent in this environment); the
-            dispatch point is kept so a scipy deployment can plug in.
+    AD    — Anderson-Darling two-sample test via the pure-NumPy
+            Scholz-Stephens midrank statistic + asymptotic p-value
+            (ad_2samp_pvalue below); keep when p >= alpha.
     """
     if test == "KS":
         thr = ks_lut(n1, n2, alpha)

@@ -32,6 +32,7 @@ from .rollup import (
     _link_batch,
     _list_col,
     _pa_schema,
+    _shp_present,
     _slice_tail,
     _take_strs,
 )
@@ -51,6 +52,8 @@ def make_fused_kernel(cfg: EngineConfig, tok_col: str = "zphi"):
     spd = cfg.slots_per_day
     V = cfg.vocab_size
     method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
+    shp_filter, shp_test, shp_alpha = (cfg.shp_filter, cfg.shp_test,
+                                       cfg.shp_alpha)
     out_schema = _pa_schema(FUSED_SCHEMA)
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
                 "min_tok", "max_tok"]
@@ -83,9 +86,18 @@ def make_fused_kernel(cfg: EngineConfig, tok_col: str = "zphi"):
         present = np.zeros((G, T), dtype=bool)
         dense[gid, sih] = z
         present[gid, sih] = True
+        # SHP membership gate — identical to the tiered rollup_1h path
+        # (the fused cascade previously ignored cfg.shp_filter, so the
+        # two execution shapes produced different ensembles)
+        ens_present = present
+        if shp_filter:
+            phi_dense = np.zeros((G, T, S), dtype=np.float32)
+            phi_dense[gid, sih] = phi
+            ens_present = _shp_present(phi_dense, present, shp_test,
+                                       shp_alpha)
         Z = np.empty(dense.shape, dtype=np.complex64)
-        Z.real = fill_dense_batch(dense.real, present)
-        Z.imag = fill_dense_batch(dense.imag, present)
+        Z.real = fill_dense_batch(dense.real, ens_present)
+        Z.imag = fill_dense_batch(dense.imag, ens_present)
         vec, quality, squeezed = _link_batch(Z, method, lag, ps_test=ps_test)
 
         ends = np.append(starts[1:], n)

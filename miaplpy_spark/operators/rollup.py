@@ -202,6 +202,12 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0,
         vecL = pl.evd_phase_batch(cohL)
 
     qualityL = pl.gam_pta_batch(np.angle(cohL), vecL)
+    if ps_test:
+        # quality == 1.0 is the PS marker ("raw phase kept",
+        # test_PS_cy lib/utils.pyx:420-459); a perfectly-fit NON-PS
+        # group is downgraded to the reference's 0.95 cap so the
+        # sentinel stays unambiguous
+        qualityL = np.where(qualityL >= 1.0, np.float32(0.95), qualityL)
     vec[link] = vecL
     quality[link] = qualityL
 
@@ -435,12 +441,17 @@ def attach_doc_dim(df_core: DataFrame, doc_dim: DataFrame,
     tier output has G rows (orders of magnitude below raw), so this is
     a cheap post-kernel hash join that never touches the raw->Python
     stream; broadcast by default (a 10^12-doc deployment disables the
-    hint and bucket-joins the dimension co-located instead)."""
+    hint and bucket-joins the dimension co-located instead).
+
+    LEFT join: a tier row whose doc_key is missing from the supplied
+    dimension surfaces with null doc_id/source instead of silently
+    vanishing (an inner join would also desynchronize the checkpoint
+    rows_written metric, which counts pre-join kernel output)."""
     dim = doc_dim.select("doc_key", "doc_id", "source")
     if hint_broadcast:
         dim = F.broadcast(dim)
     rest = [c for c in df_core.columns if c != "doc_key"]
-    return (df_core.join(dim, "doc_key")
+    return (df_core.join(dim, "doc_key", "left")
             .select("doc_id", "doc_key", "source", *rest))
 
 

@@ -62,3 +62,29 @@ def test_fused_null_discipline(frames):
     assert fused.where("tier = '1h' AND n_hours IS NOT NULL").count() == 0
     assert fused.where("tier = '1d' AND hour_idx IS NOT NULL").count() == 0
     assert fused.where("tier = '1d' AND quality_1d IS NULL").count() == 0
+
+
+def test_fused_honors_shp_filter(spark):
+    """cfg.shp_filter must shape the fused ensembles exactly like the
+    tiered path (it was previously silently ignored on the fused
+    path): with the gate on, fused 1h == tiered 1h, and the gate
+    actually changes something vs the ungated run."""
+    import pandas as pd
+
+    cfg = EngineConfig(n_buckets=2, n_samples=8, shp_filter=True,
+                       shp_test="KS", shp_alpha=0.2)
+    obs = prepare_observations(generate_sequences(spark, SPEC, cfg), cfg)
+    key = ["doc_id", "hour_idx"]
+    fh = (rollup_cascade_fused(obs, cfg).where("tier = '1h'")
+          .toPandas().sort_values(key).reset_index(drop=True))
+    th = (rollup_1h(obs, cfg).toPandas()
+          .sort_values(key).reset_index(drop=True))
+    assert len(fh) == len(th)
+    np.testing.assert_allclose(fh["quality"], th["quality"], atol=1e-6)
+    for a, b in zip(fh["linked_phase"], th["linked_phase"]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    ungated = (rollup_1h(obs, EngineConfig(n_buckets=2, n_samples=8))
+               .toPandas().sort_values(key).reset_index(drop=True))
+    assert not np.allclose(
+        np.concatenate(th["linked_phase"].to_numpy()),
+        np.concatenate(ungated["linked_phase"].to_numpy()), atol=1e-6)

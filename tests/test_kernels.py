@@ -357,3 +357,20 @@ def test_timeseries_cov_propagation():
     G2 = G.copy()
     G2[:, 0] = 0.0
     assert not estimate_timeseries_cov(G2, std).any()
+
+
+def test_est_cov_matches_direct(sim):
+    """est_cov (est_cov_py, lib/utils.pyx:374-383): unnormalized
+    covariance; scalar == batched == direct Z Z^H / S, and
+    cov2corr(est_cov) == est_corr."""
+    rng = np.random.default_rng(12)
+    Z = (rng.normal(size=(6, 10, 32)) + 1j * rng.normal(size=(6, 10, 32))
+         ).astype(np.complex64)
+    direct = np.stack([(z @ z.conj().T) / z.shape[1] for z in Z])
+    batched = pl.est_cov_batch(Z)
+    np.testing.assert_allclose(batched, direct.astype(np.complex64),
+                               atol=1e-5)
+    one = pl.est_cov(Z[0])
+    np.testing.assert_allclose(one, batched[0], atol=1e-6)
+    np.testing.assert_allclose(pl.cov2corr(one), pl.est_corr(Z[0]),
+                               atol=1e-6)
