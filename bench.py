@@ -228,6 +228,15 @@ def _write_bench_md(report: dict, core_list: list[int]) -> None:
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
+    # preserve hand-written analysis sections ("## ..." onwards) across
+    # regenerations — only the measured table/header is rewritten
+    addendum = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i >= 0:
+            addendum = old[i:]
     lo, hi = min(core_list), max(core_list)
     r0 = report[f"local{lo}"]
     eff = report[f"scaling_efficiency_{lo}_to_{hi}"]
@@ -270,6 +279,8 @@ reported, because this sandbox's host shows intermittent CPU steal
 transfer + batched NumPy eigendecompositions + both tier aggregations
 + the doc-dim broadcast join; not datagen and not tier writes.
 """)
+        if addendum:
+            f.write(addendum)
 
 
 def headline() -> None:
