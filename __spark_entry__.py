@@ -129,6 +129,74 @@ def _network_inversion(spark: SparkSession, sf_dir: str,
     return project_inversion_scalars(inv)
 
 
+def _incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified incremental extension (T3/T4: update-mode skip
+    + watermark carry, objects/utils.py:1220-1241 /
+    objects/inversion_utils.py:149-217): the fixture's first two days
+    run through run_cascade_incremental, then the FULL range extends
+    the tiers through the watermark path (closed hours kept, the open
+    boundary hour recomputed). The final 1h tier's scalar columns must
+    equal a single-pass DuckDB aggregation of the whole fixture —
+    i.e. the incremental composition is exact, row-for-row."""
+    import tempfile
+
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.operators.cascade import run_cascade_incremental
+    from miaplpy_spark.oracle_fixtures import fixture_obs
+    from miaplpy_spark.sources.catalog import TierStore
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    store = TierStore(tempfile.mkdtemp(prefix="q45_wh_"))
+    obs = fixture_obs(spark, n_docs=8, n_slots=720, n_samples=8,
+                      n_buckets=4)
+    run_cascade_incremental(spark, obs.where(F.col("slot") < 480),
+                            store, cfg)
+    run_cascade_incremental(spark, obs, store, cfg)
+    tier = store.read(spark, "rollup_1h")
+    return tier.select(
+        "doc_id", "source",
+        F.col("hour_idx").cast("int").alias("hour_idx"),
+        F.col("n_obs").cast("int").alias("n_obs"),
+        F.col("n_filled").cast("int").alias("n_filled"),
+        "sum_tok",
+        F.col("min_tok").cast("int").alias("min_tok"),
+        F.col("max_tok").cast("int").alias("max_tok"),
+        F.round("mean_ntok", 6).alias("mean_ntok"))
+
+
+def _retention_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified retention aging + transparent tiered read: the
+    fixture's 1h tier is written, days < 2 age into DoD+Gorilla cold
+    blobs (apply_retention_1h), and read_1h_tiered unions hot rows
+    with decoded blobs. Every hour must come back exactly once with
+    its exact mean — which simultaneously proves the codec round-trip
+    on the summary series, the hot/cold split disjointness, and the
+    union view (the reference's compressed-history / hot-window split,
+    sequential_phase_linking_cy lib/utils.pyx:604-666)."""
+    import tempfile
+
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.operators.compress import (apply_retention_1h,
+                                                  read_1h_tiered)
+    from miaplpy_spark.operators.rollup import rollup_1h
+    from miaplpy_spark.oracle_fixtures import fixture_obs
+    from miaplpy_spark.sources.catalog import TierStore
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    store = TierStore(tempfile.mkdtemp(prefix="q46_wh_"))
+    obs = fixture_obs(spark, n_docs=8, n_slots=960, n_samples=8,
+                      n_buckets=4)
+    store.merge_partitions(rollup_1h(obs, cfg), "rollup_1h",
+                           partition_col="bucket")
+    apply_retention_1h(spark, store, day_boundary=2, cfg=cfg)
+    tiered = read_1h_tiered(spark, store, cfg)
+    return tiered.select(
+        "doc_id", "source",
+        ((F.unix_timestamp("hour_ts") - F.lit(cfg.epoch0))
+         / F.lit(cfg.hour_seconds)).cast("int").alias("hour_idx"),
+        F.round("mean_ntok", 6).alias("mean_ntok"))
+
+
 def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless-codec proof with a full DuckDB oracle: hourly event
     aggregates -> DoD+Gorilla blobs -> decode -> identical values."""
@@ -193,6 +261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_shp_cascade": lambda s, d: _engine_cascade(s, d,
                                                         shp_filter=True),
         "q31_compressed_tier": _compressed_tier,
+        "q45_incremental_cascade": _incremental_cascade,
+        "q46_retention_tiered_read": _retention_tiered_read,
         "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": _network_inversion,
         "q36_weighted_inversion": lambda s, d: _network_inversion(
@@ -465,12 +535,16 @@ def _q43_sql(max_dt: int = 14, max_perp: float = 30.0) -> str:
 def oracle_sql() -> dict[str, str]:
     from miaplpy_spark.oracle_fixtures import (cascade_oracle_sql,
                                                compress_oracle_sql,
+                                               hourly_oracle_sql,
                                                inversion_oracle_sql)
     inv_sql = inversion_oracle_sql(n_docs=12, n_hours=48)
     return {
         "q30_sequence_cascade": cascade_oracle_sql(n_docs=12, n_slots=960),
         "q44_shp_cascade": cascade_oracle_sql(n_docs=10, n_slots=720),
         "q31_compressed_tier": compress_oracle_sql(n_docs=12, n_slots=960),
+        "q45_incremental_cascade": hourly_oracle_sql(n_docs=8, n_slots=720),
+        "q46_retention_tiered_read": hourly_oracle_sql(
+            n_docs=8, n_slots=960, mean_only=True),
         "q43_delaunay_network": _q43_sql(),
         "q32_network_inversion": inv_sql,
         "q36_weighted_inversion": inv_sql,
