@@ -175,16 +175,25 @@ def shingle_jaccard_pairs_df(d: DataFrame, k: int = 2,
                              df_cap: int | None = None) -> DataFrame:
     """Core of shingle_jaccard_pairs over an explicit documents
     DataFrame (doc_id, lang, text)."""
+    from pyspark.sql import Window
+
     if df_cap is None:
         # parquet-metadata count: the cap scales with corpus size
         df_cap = max(100, int(0.001 * d.count()))
-    sh = shingles(d, k).join(d.select("doc_id", "lang"), "doc_id")
+    # document frequency via a window over the SAME (sh, lang) shuffle
+    # the candidate self-join needs — the inverted index is built and
+    # shuffled once and every consumer (sizes, both self-join sides)
+    # hangs off the identical subtree, so Spark's exchange reuse plans
+    # ONE explode+shuffle of the shingle table instead of one per
+    # branch (a separate freq-aggregate + semi-join shape replanned
+    # the explode four times)
+    sh = (shingles(d, k).join(d.select("doc_id", "lang"), "doc_id")
+          .withColumn("df", F.count("*").over(
+              Window.partitionBy("sh", "lang"))))
     # true per-doc shingle-set sizes BEFORE the cap: the Jaccard
     # denominator stays exact even when hot shingles are dropped
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = sh.groupBy("sh", "lang").agg(F.count("*").alias("df"))
-    sh = sh.join(freq.where(F.col("df") <= df_cap).select("sh", "lang"),
-                 ["sh", "lang"])
+    sh = sh.where(F.col("df") <= df_cap).drop("df")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.lang") == F.col("b.lang"))

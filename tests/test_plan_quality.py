@@ -127,3 +127,29 @@ def test_core_cascade_plan_shape(spark):
         rollup_1d(rollup_1h(core, cfg), cfg, assume_partitioned=True), dim)
     assert count_exchanges(df) == 1
     assert broadcast_join_count(df) == 1
+
+
+def test_invert_network_single_exchange(spark):
+    """The inversion plan is one doc_key exchange (with the in-shuffle
+    sort that enables the bounded batch-carry kernel) — no second
+    shuffle, no collect."""
+    from miaplpy_spark.operators.network_inversion import invert_network
+
+    df = spark.createDataFrame(
+        [("d0", "web", 0, h, [0.1] * 4) for h in range(6)],
+        "doc_id string, source string, bucket int, hour_idx int, "
+        "linked_phase array<float>")
+    q = invert_network(df, EngineConfig(n_buckets=2, n_samples=4))
+    assert count_exchanges(q) == 1
+
+
+def test_shingle_cap_reuses_inverted_index_exchange(spark):
+    """The df-cap join keys on the same (sh, lang) the candidate
+    self-join shuffles on; the plan must stay within a constant
+    exchange budget (no per-shingle recomputation explosion)."""
+    from miaplpy_spark.functions import text
+
+    q = text.shingle_jaccard_pairs(spark, SF)
+    # shingles agg + sizes agg + freq agg + self join + final joins:
+    # bounded small constant, and critically not O(shingle width)
+    assert count_exchanges(q) <= 11
