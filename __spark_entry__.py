@@ -3,11 +3,16 @@
 ``entry(spark)`` — flagship retention-cascade query on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-pipeline operators); each callable (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — matching DuckDB ANSI SQL; keys without an oracle are
-non-SQL-expressible engine ops (rows-only check).
+``oracle_sql()`` — matching DuckDB ANSI SQL for EVERY query (46/46):
+the engine-native paths (cascade, compressed tier, network inversion,
+Delaunay, incremental extension, retention) are certified through
+deterministic integer-arithmetic fixtures that Spark and DuckDB
+compute identically (miaplpy_spark/oracle_fixtures.py).
 
 Every computed column is aliased identically in both implementations;
-float aggregates are rounded identically on both sides.
+float aggregates are rounded identically on both sides; float32-typed
+engine outputs are replicated in SQL via CAST(... AS REAL) so both
+sides round the same quantum.
 """
 
 from __future__ import annotations
@@ -251,7 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_label_centroids": similarity.label_centroids,
         "q38_lsh_neardup": similarity.lsh_near_dup_pairs,
         "q42_ivf_ann": similarity.ivf_ann_topk,
-        # non-SQL-expressible (rows-only checks)
+        # engine-native paths (fixture-oracled) + hash-family operators
         "q26_minhash_lsh": dedup.minhash_lsh_pairs,
         "q27_simhash_pairs": dedup.simhash_near_pairs,
         "q28_lsh_ann": similarity.lsh_ann_topk,
