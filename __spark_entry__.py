@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_bpe_token_count": text.bpe_token_count,
         "q41_lang_id": text.lang_id_heuristic,
         "q22_shingle_jaccard": text.shingle_jaccard_pairs,
+        "q47_winnow_fingerprints": text.winnow_fingerprints,
+        "q48_cross_source_overlap": text.cross_source_overlap,
         # training-pipeline: similarity search
         "q23_embed_topk": similarity.brute_force_topk,
         "q24_embed_neardup": lambda s, d: similarity.cosine_near_dup_pairs(
@@ -537,6 +539,34 @@ def _q43_sql(max_dt: int = 14, max_perp: float = 30.0) -> str:
     """
 
 
+def _q47_sql(k: int = 3, w: int = 4) -> str:
+    """DuckDB twin of text.winnow_fingerprints (same md5-derived
+    60-bit k-gram hashes, same w-window min selection)."""
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        kg AS (SELECT doc_id, len(ws) - {k - 1} AS n_kg,
+                      unnest(range(1, greatest(len(ws) - {k - 1}, 0) + 1))
+                          AS i, ws
+               FROM d),
+        h AS (SELECT doc_id, n_kg, i,
+                     CAST(('0x' || substr(md5(
+                         array_to_string(ws[i:i+{k - 1}], ' ')), 1, 15))
+                         AS BIGINT) AS h
+              FROM kg),
+        m AS (SELECT doc_id, i, n_kg,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                         AS mh
+              FROM h),
+        sel AS (SELECT DISTINCT doc_id, mh FROM m
+                WHERE i <= n_kg - {w - 1})
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(sum(mh % 1000003) AS BIGINT) AS fp_digest
+        FROM sel GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from miaplpy_spark.oracle_fixtures import (cascade_oracle_sql,
                                                compress_oracle_sql,
@@ -554,6 +584,15 @@ def oracle_sql() -> dict[str, str]:
         "q32_network_inversion": inv_sql,
         "q36_weighted_inversion": inv_sql,
         "q37_l1_inversion": inv_sql,
+        "q47_winnow_fingerprints": _q47_sql(),
+        "q48_cross_source_overlap": """
+            SELECT md5(lower(array_to_string(
+                       string_split(text, ' ')[1:8], ' '))) AS fp,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
+            GROUP BY 1 HAVING count(*) >= 2
+        """,
         "q42_ivf_ann": _q42_sql(),
         "q29_multimodal_features": _q29_sql(),
         "q39_codec_roundtrip": """

@@ -135,6 +135,62 @@ def fingerprint_dups(spark, sf_dir) -> DataFrame:
                  (F.count("*") - F.count_distinct("fp")).alias("n_dups")))
 
 
+def winnow_fingerprints(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS local fingerprinting algorithm): hash every k-gram, slide
+    a w-wide window over the ordered hash sequence, select each
+    window's minimum, dedup — the selected set is a position-robust
+    fingerprint whose density is guaranteed ~2/(w+1) regardless of
+    document length. Output per doc: fingerprint count + a modular
+    digest of the selected hashes.
+
+    Plan: one explode (k-gram positions, JVM-side), one shuffle for
+    the per-doc ordered window, one aggregation — no self-join; the
+    fingerprint table (doc_id, min_hash) is what a dedup pipeline
+    joins on at scale (far smaller than the full shingle index)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    kg = (words
+          .select("doc_id", (F.size("ws") - (k - 1)).alias("n_kg"),
+                  F.explode(F.sequence(
+                      F.lit(1), F.greatest(F.size("ws") - (k - 1), F.lit(1))
+                  )).alias("i"), "ws")
+          .where(F.col("i") <= F.col("n_kg"))
+          .select("doc_id", "n_kg", "i",
+                  F.conv(F.substring(F.md5(
+                      F.array_join(F.slice("ws", F.col("i"), k), " ")),
+                      1, 15), 16, 10).cast("long").alias("h")))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    sel = (kg.withColumn("mh", F.min("h").over(win))
+             .where(F.col("i") <= F.col("n_kg") - (w - 1))
+             .select("doc_id", "mh").distinct())
+    return (sel.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fp"),
+                 F.sum(F.pmod(F.col("mh"), F.lit(1000003)))
+                  .cast("long").alias("fp_digest")))
+
+
+def cross_source_overlap(spark, sf_dir, prefix_words: int = 8) -> DataFrame:
+    """Contamination report (train/test overlap check): documents are
+    fingerprinted by their normalized ``prefix_words``-word prefix
+    (the practical boilerplate/leakage detector — near-identical docs
+    share openings even when tails diverge) and every fingerprint
+    shared by >= 2 documents is reported with its duplicate count and
+    how many distinct sources it spans (n_sources > 1 = cross-source
+    leakage). One groupBy over the fingerprint — no join; the
+    duplicated-fingerprint set is tiny relative to the corpus at any
+    scale."""
+    d = _docs(spark, sf_dir)
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, prefix_words), " ")
+    fp = d.select("source", F.md5(F.lower(prefix)).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count_distinct("source").alias("n_sources"))
+            .where(F.col("n_docs") >= 2))
+
+
 def shingles(df: DataFrame, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per doc: explode positions JVM-side."""
     words = df.select("doc_id", F.split("text", " ").alias("ws"))
