@@ -83,3 +83,31 @@ def test_simhash_bands_guarantee_small_hamming(spark):
            for r in simhash_candidates(s).collect()}
     for i in range(10):
         assert tuple(sorted(("b", f"v{i}"))) in got
+
+
+def test_winnowing_density_and_robustness(spark):
+    """Winnowing guarantees: fingerprint density ~2/(w+1) of k-gram
+    count, and a single-word edit changes only a local neighborhood of
+    the fingerprint set (position robustness — the property that makes
+    it a near-dup detector, Schleimer et al. 2003)."""
+    from miaplpy_spark.functions.text import winnow_fingerprints
+
+    import tempfile, os
+    rng_words = [f"w{i * 7919 % 997}" for i in range(400)]
+    base = " ".join(rng_words)
+    edited = " ".join(rng_words[:200] + ["EDIT"] + rng_words[201:])
+    d = spark.createDataFrame(
+        [("base", "en", base, "s", len(base)),
+         ("edit", "en", edited, "s", len(edited))],
+        "doc_id string, lang string, text string, source string, n_chars long")
+    tmp = tempfile.mkdtemp(prefix="winnow_")
+    d.write.parquet(f"{tmp}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           winnow_fingerprints(spark, tmp, k=3, w=4).collect()}
+    n_kgrams = 400 - 2
+    density = out["base"]["n_fp"] / n_kgrams
+    assert 0.25 <= density <= 0.6, density   # ~2/(w+1)=0.4 +- slack
+    # the digest differs but the counts stay near-identical: the edit
+    # perturbs at most ~k+w windows of selections
+    assert abs(out["base"]["n_fp"] - out["edit"]["n_fp"]) <= 8
+    assert out["base"]["fp_digest"] != out["edit"]["fp_digest"]
