@@ -202,6 +202,50 @@ def _retention_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_ntok", 6).alias("mean_ntok"))
 
 
+def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified Structured Streaming ingestion: the fixture's
+    observation rows land as FOUR parquet files consumed one file per
+    micro-batch (maxFilesPerTrigger=1, availableNow drain), each
+    micro-batch driving the batch 1h kernel over its touched hours via
+    foreachBatch + staging + (bucket, hour_idx) MERGE
+    (streaming/rollup_stream.py). Files split RANDOMLY across hours,
+    so hours straddle micro-batches and the gate proves the
+    recompute-from-staging convergence: the final streamed tier's
+    scalar columns must equal the one-shot DuckDB aggregation exactly
+    (T4 carry extension as a stream, objects/inversion_utils.py:
+    149-217)."""
+    import tempfile
+
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.oracle_fixtures import fixture_obs
+    from miaplpy_spark.sources.catalog import TierStore
+    from miaplpy_spark.streaming.rollup_stream import (STREAM_TIER,
+                                                       stream_rollup_1h)
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    root = tempfile.mkdtemp(prefix="q49_")
+    obs = fixture_obs(spark, n_docs=6, n_slots=480, n_samples=8,
+                      n_buckets=4)
+    obs.repartition(4).write.parquet(f"{root}/in")
+    stream = (spark.readStream.schema(obs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{root}/in"))
+    store = TierStore(f"{root}/wh")
+    q = stream_rollup_1h(stream, store, cfg,
+                         checkpoint_dir=f"{root}/ckpt",
+                         available_now=True)
+    q.awaitTermination(300)
+    tier = store.read(spark, STREAM_TIER)
+    return tier.select(
+        "doc_id", "source",
+        F.col("hour_idx").cast("int").alias("hour_idx"),
+        F.col("n_obs").cast("int").alias("n_obs"),
+        F.col("n_filled").cast("int").alias("n_filled"),
+        "sum_tok",
+        F.col("min_tok").cast("int").alias("min_tok"),
+        F.col("max_tok").cast("int").alias("max_tok"),
+        F.round("mean_ntok", 6).alias("mean_ntok"))
+
+
 def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless-codec proof with a full DuckDB oracle: hourly event
     aggregates -> DoD+Gorilla blobs -> decode -> identical values."""
@@ -270,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_compressed_tier": _compressed_tier,
         "q45_incremental_cascade": _incremental_cascade,
         "q46_retention_tiered_read": _retention_tiered_read,
+        "q49_streaming_cascade": _streaming_cascade,
         "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": _network_inversion,
         "q36_weighted_inversion": lambda s, d: _network_inversion(
@@ -578,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_shp_cascade": cascade_oracle_sql(n_docs=10, n_slots=720),
         "q31_compressed_tier": compress_oracle_sql(n_docs=12, n_slots=960),
         "q45_incremental_cascade": hourly_oracle_sql(n_docs=8, n_slots=720),
+        "q49_streaming_cascade": hourly_oracle_sql(n_docs=6, n_slots=480),
         "q46_retention_tiered_read": hourly_oracle_sql(
             n_docs=8, n_slots=960, mean_only=True),
         "q43_delaunay_network": _q43_sql(),

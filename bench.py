@@ -326,10 +326,12 @@ def headline() -> None:
         round_steal.append(round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 1))
     timings = {name: min(v) for name, v in samples.items()}
 
-    # engine cascade on the synthetic bench table — same min-of-3 rule
+    # engine cascade on the synthetic bench table — min-of-N (first
+    # run doubles as the table's read warmup and rarely converges)
+    n_cascade = int(os.environ.get("BENCH_CASCADE_RUNS", "4"))
     tmp = tempfile.mkdtemp(prefix="bench_obs_") + "/obs"
     prepare_input(spark, tmp)
-    runs = [run_cascade_timed(spark, tmp) for _ in range(3)]
+    runs = [run_cascade_timed(spark, tmp) for _ in range(n_cascade)]
     stats = min(runs, key=lambda r: r["t_total_s"])
     stats["all_totals_s"] = [r["t_total_s"] for r in runs]
     timings["engine_cascade"] = stats["t_total_s"]
@@ -338,7 +340,7 @@ def headline() -> None:
     # cost is the delta vs the plain cascade (q44 drives the gate for
     # correctness at fixture scale; this measures it at bench scale)
     shp_runs = [run_cascade_timed(spark, tmp, shp_filter=True)
-                for _ in range(3)]
+                for _ in range(n_cascade)]
     shp_stats = min(shp_runs, key=lambda r: r["t_total_s"])
     shp_stats["all_totals_s"] = [r["t_total_s"] for r in shp_runs]
     timings["engine_cascade_shp"] = shp_stats["t_total_s"]

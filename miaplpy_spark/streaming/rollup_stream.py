@@ -92,7 +92,8 @@ STREAM_TIER = "rollup_1h_stream"
 def stream_rollup_1h(stream_df: DataFrame, store: TierStore,
                      cfg: EngineConfig = EngineConfig(),
                      checkpoint_dir: str | None = None,
-                     trigger_seconds: int = 10):
+                     trigger_seconds: int = 10,
+                     available_now: bool = False):
     """Drive the batch 1h kernel per micro-batch via foreachBatch,
     with continuous-aggregate invalidation semantics:
 
@@ -130,8 +131,11 @@ def stream_rollup_1h(stream_df: DataFrame, store: TierStore,
 
     writer = (stream_df.writeStream
               .foreachBatch(process_batch)
-              .outputMode("update")
-              .trigger(processingTime=f"{trigger_seconds} seconds"))
+              .outputMode("update"))
+    # availableNow drains the backlog in bounded micro-batches then
+    # stops — the batch-drive mode the driver gate (q49) uses
+    writer = (writer.trigger(availableNow=True) if available_now else
+              writer.trigger(processingTime=f"{trigger_seconds} seconds"))
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
