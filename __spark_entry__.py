@@ -85,6 +85,25 @@ def _engine_cascade(spark: SparkSession, sf_dir: str,
     return project_cascade_scalars(tiered)
 
 
+def _fused_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified FUSED cascade (operators/fused.py): both tiers
+    from one Arrow pass — the worker-boundary-minimizing execution
+    shape of the same math as q30's two-stage pipeline. The 1d rows'
+    scalar aggregates must match the one-shot DuckDB aggregation of
+    the fixture, proving the in-process hourly handoff (no second
+    exchange, no second Python crossing) loses nothing."""
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.operators.fused import rollup_cascade_fused
+    from miaplpy_spark.oracle_fixtures import (fixture_obs,
+                                               project_cascade_scalars)
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    obs = fixture_obs(spark, n_docs=9, n_slots=720, n_samples=8,
+                      n_buckets=4)
+    fused = rollup_cascade_fused(obs, cfg).where(F.col("tier") == "1d")
+    return project_cascade_scalars(fused)
+
+
 def _compressed_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla/DoD compressed cold tier over the fixture cascade's 1h
     output: the driver gate verifies the blob accounting (points per
@@ -315,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_incremental_cascade": _incremental_cascade,
         "q46_retention_tiered_read": _retention_tiered_read,
         "q49_streaming_cascade": _streaming_cascade,
+        "q50_fused_cascade": _fused_cascade,
         "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": _network_inversion,
         "q36_weighted_inversion": lambda s, d: _network_inversion(
@@ -624,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_compressed_tier": compress_oracle_sql(n_docs=12, n_slots=960),
         "q45_incremental_cascade": hourly_oracle_sql(n_docs=8, n_slots=720),
         "q49_streaming_cascade": hourly_oracle_sql(n_docs=6, n_slots=480),
+        "q50_fused_cascade": cascade_oracle_sql(n_docs=9, n_slots=720),
         "q46_retention_tiered_read": hourly_oracle_sql(
             n_docs=8, n_slots=960, mean_only=True),
         "q43_delaunay_network": _q43_sql(),
