@@ -188,6 +188,32 @@ def _incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_ntok", 6).alias("mean_ntok"))
 
 
+def _checkpointed_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified checkpointed batch cascade (T1/T2 flag-written-
+    last protocol, lib/utils.pyx:1195): run_cascade executes twice into
+    the same warehouse — the second run must anti-join every bucket
+    away against the checkpoint log (a no-op), and the surviving 1d
+    tier must equal the one-shot DuckDB aggregation. A non-idempotent
+    MERGE or a checkpoint row written before its tier write would
+    corrupt the compared rows."""
+    import tempfile
+
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.operators.cascade import run_cascade
+    from miaplpy_spark.oracle_fixtures import (fixture_obs,
+                                               project_cascade_scalars)
+    from miaplpy_spark.sources.catalog import TierStore
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    store = TierStore(tempfile.mkdtemp(prefix="q51_wh_"))
+    obs = fixture_obs(spark, n_docs=7, n_slots=720, n_samples=8,
+                      n_buckets=4)
+    run_cascade(spark, obs, store, cfg, input_id="q51")
+    m2 = run_cascade(spark, obs, store, cfg, input_id="q51")
+    assert m2["raw->1h"]["buckets_processed"] == 0, m2
+    return project_cascade_scalars(store.read(spark, "rollup_1d"))
+
+
 def _retention_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-certified retention aging + transparent tiered read: the
     fixture's 1h tier is written, days < 2 age into DoD+Gorilla cold
@@ -335,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_retention_tiered_read": _retention_tiered_read,
         "q49_streaming_cascade": _streaming_cascade,
         "q50_fused_cascade": _fused_cascade,
+        "q51_checkpointed_cascade": _checkpointed_cascade,
         "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": _network_inversion,
         "q36_weighted_inversion": lambda s, d: _network_inversion(
@@ -645,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_incremental_cascade": hourly_oracle_sql(n_docs=8, n_slots=720),
         "q49_streaming_cascade": hourly_oracle_sql(n_docs=6, n_slots=480),
         "q50_fused_cascade": cascade_oracle_sql(n_docs=9, n_slots=720),
+        "q51_checkpointed_cascade": cascade_oracle_sql(n_docs=7, n_slots=720),
         "q46_retention_tiered_read": hourly_oracle_sql(
             n_docs=8, n_slots=960, mean_only=True),
         "q43_delaunay_network": _q43_sql(),
