@@ -44,6 +44,18 @@ def _canon_safe(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _materialize_and_clean(df: DataFrame, workdir: str) -> DataFrame:
+    """Eagerly materialize a gate result that reads from a throwaway
+    warehouse, then delete the warehouse: the caller collects the
+    returned DataFrame lazily, so the on-disk workspace must outlive
+    nothing (repeated gate runs otherwise accumulate /tmp warehouses)."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the retention cascade in relational form — 1h windowed
     rollup re-rolled to the 1d tier (partial->final aggregation, the
@@ -170,14 +182,15 @@ def _incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miaplpy_spark.sources.catalog import TierStore
 
     cfg = EngineConfig(n_buckets=4, n_samples=8)
-    store = TierStore(tempfile.mkdtemp(prefix="q45_wh_"))
+    wh = tempfile.mkdtemp(prefix="q45_wh_")
+    store = TierStore(wh)
     obs = fixture_obs(spark, n_docs=8, n_slots=720, n_samples=8,
                       n_buckets=4)
     run_cascade_incremental(spark, obs.where(F.col("slot") < 480),
                             store, cfg)
     run_cascade_incremental(spark, obs, store, cfg)
     tier = store.read(spark, "rollup_1h")
-    return tier.select(
+    return _materialize_and_clean(tier.select(
         "doc_id", "source",
         F.col("hour_idx").cast("int").alias("hour_idx"),
         F.col("n_obs").cast("int").alias("n_obs"),
@@ -185,7 +198,7 @@ def _incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_tok",
         F.col("min_tok").cast("int").alias("min_tok"),
         F.col("max_tok").cast("int").alias("max_tok"),
-        F.round("mean_ntok", 6).alias("mean_ntok"))
+        F.round("mean_ntok", 6).alias("mean_ntok")), wh)
 
 
 def _checkpointed_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,13 +218,15 @@ def _checkpointed_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miaplpy_spark.sources.catalog import TierStore
 
     cfg = EngineConfig(n_buckets=4, n_samples=8)
-    store = TierStore(tempfile.mkdtemp(prefix="q51_wh_"))
+    wh = tempfile.mkdtemp(prefix="q51_wh_")
+    store = TierStore(wh)
     obs = fixture_obs(spark, n_docs=7, n_slots=720, n_samples=8,
                       n_buckets=4)
     run_cascade(spark, obs, store, cfg, input_id="q51")
     m2 = run_cascade(spark, obs, store, cfg, input_id="q51")
     assert m2["raw->1h"]["buckets_processed"] == 0, m2
-    return project_cascade_scalars(store.read(spark, "rollup_1d"))
+    return _materialize_and_clean(
+        project_cascade_scalars(store.read(spark, "rollup_1d")), wh)
 
 
 def _retention_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,18 +248,19 @@ def _retention_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miaplpy_spark.sources.catalog import TierStore
 
     cfg = EngineConfig(n_buckets=4, n_samples=8)
-    store = TierStore(tempfile.mkdtemp(prefix="q46_wh_"))
+    wh = tempfile.mkdtemp(prefix="q46_wh_")
+    store = TierStore(wh)
     obs = fixture_obs(spark, n_docs=8, n_slots=960, n_samples=8,
                       n_buckets=4)
     store.merge_partitions(rollup_1h(obs, cfg), "rollup_1h",
                            partition_col="bucket")
     apply_retention_1h(spark, store, day_boundary=2, cfg=cfg)
     tiered = read_1h_tiered(spark, store, cfg)
-    return tiered.select(
+    return _materialize_and_clean(tiered.select(
         "doc_id", "source",
         ((F.unix_timestamp("hour_ts") - F.lit(cfg.epoch0))
          / F.lit(cfg.hour_seconds)).cast("int").alias("hour_idx"),
-        F.round("mean_ntok", 6).alias("mean_ntok"))
+        F.round("mean_ntok", 6).alias("mean_ntok")), wh)
 
 
 def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,9 +294,14 @@ def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_rollup_1h(stream, store, cfg,
                          checkpoint_dir=f"{root}/ckpt",
                          available_now=True)
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout WITHOUT raising; a
+    # partial read of the tier mid-drain must be an error, not a
+    # flaky hash mismatch
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("q49 stream drain exceeded 600 s")
     tier = store.read(spark, STREAM_TIER)
-    return tier.select(
+    return _materialize_and_clean(tier.select(
         "doc_id", "source",
         F.col("hour_idx").cast("int").alias("hour_idx"),
         F.col("n_obs").cast("int").alias("n_obs"),
@@ -288,7 +309,7 @@ def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_tok",
         F.col("min_tok").cast("int").alias("min_tok"),
         F.col("max_tok").cast("int").alias("max_tok"),
-        F.round("mean_ntok", 6).alias("mean_ntok"))
+        F.round("mean_ntok", 6).alias("mean_ntok")), root)
 
 
 def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

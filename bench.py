@@ -78,7 +78,7 @@ def run_cascade_timed(spark, input_dir: str, shp_filter: bool = False) -> dict:
     pipelined plan (the 1d stage consumes the 1h output without a
     second exchange — partitioning reuse). The timed action is a
     single aggregation that forces the whole cascade and returns all
-    tier counts. Host steal%% is sampled around the run."""
+    tier counts. Host steal% is sampled around the run."""
     import pyspark.sql.functions as F
 
     from miaplpy_spark.operators.fused import rollup_cascade_fused
@@ -268,7 +268,7 @@ at {len(core_list)} parallelism levels in fresh CPU-affinity-pinned
 JVMs. Reference's own measured 1->4 worker efficiency: 0.55-0.63
 (BASELINE.md).
 
-| cores | total (s) | raw points/s | rolled points/s | per-core raw pts/s | host steal%% |
+| cores | total (s) | raw points/s | rolled points/s | per-core raw pts/s | host steal% |
 |---|---|---|---|---|---|
 {rows}
 
@@ -311,7 +311,7 @@ def headline() -> None:
     qs[names[0]](spark, SF_DIR).count()
     # min-of-3 PER QUERY, round-robin so a host noisy-neighbor episode
     # (minute-scale on this box) cannot poison all samples of one
-    # query; per-round host steal%% is recorded so cross-round deltas
+    # query; per-round host steal% is recorded so cross-round deltas
     # can be read as signal or discarded
     n_rounds = int(os.environ.get("BENCH_QUERY_ROUNDS", "3"))
     samples = {name: [] for name in names}

@@ -221,6 +221,11 @@ def shingle_jaccard_pairs(spark, sf_dir, k: int = 2, threshold: float = 0.04,
     recall at scale, front with dedup.minhash_lsh_pairs to bound the
     candidate set instead."""
     d = _docs(spark, sf_dir)
+    if df_cap is None:
+        # size the cap from the UNFILTERED corpus count — a bare
+        # count(*) over parquet is served from row-group footers
+        # (no column scan), unlike a count under the lang filter
+        df_cap = max(100, int(0.001 * d.count()))
     if lang is not None:
         d = d.where(F.col("lang") == lang)
     return shingle_jaccard_pairs_df(d, k, threshold, df_cap)
@@ -234,7 +239,9 @@ def shingle_jaccard_pairs_df(d: DataFrame, k: int = 2,
     from pyspark.sql import Window
 
     if df_cap is None:
-        # parquet-metadata count: the cap scales with corpus size
+        # note: a count on an already-filtered frame scans the filter
+        # column — callers with the raw table should size the cap
+        # there (shingle_jaccard_pairs does)
         df_cap = max(100, int(0.001 * d.count()))
     # document frequency via a window over the SAME (sh, lang) shuffle
     # the candidate self-join needs — the inverted index is built and

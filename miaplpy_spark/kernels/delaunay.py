@@ -54,7 +54,15 @@ def _in_disk(allp: np.ndarray, n: int, tri: tuple, i: int) -> bool:
     fin = [v for v in tri if v < n]
     if len(sup) == 1:
         a, b = allp[fin[0]], allp[fin[1]]
-        return _orient(a, b, p) * _orient(a, b, allp[sup[0]]) > 0
+        oa = _orient(a, b, p)
+        # a point EXACTLY ON a hull edge's supporting line sits on the
+        # limiting circle; counting it inside breaks the degeneracy
+        # the standard way (the cavity swallows the super triangle,
+        # so re-triangulation splits (a, b) through p instead of
+        # emitting a zero-area (a, b, p) triangle)
+        if oa == 0.0:
+            return True
+        return oa * _orient(a, b, allp[sup[0]]) > 0
     if len(sup) == 2:
         a = allp[fin[0]]
         s1, s2 = allp[sup[0]], allp[sup[1]]

@@ -155,8 +155,15 @@ def run_inversion_step(
     from .network_inversion import invert_network
 
     ckpt = CheckpointLog(store)
-    lineage = lineage_hash(cfg, TIER_TS + ":" + method, input_id)
     df_1h = store.read(spark, TIER_1H)
+    # the lineage must hash the 1h tier's CONTENT IDENTITY, not just
+    # the config: after an incremental extension the same (cfg, method,
+    # input_id) would otherwise keep every bucket checkpointed and the
+    # timeseries table would silently go stale. The tier's max hour is
+    # a cheap monotone content fingerprint (one min/max-stat scan).
+    max_h = df_1h.agg(F.max("hour_idx")).collect()[0][0]
+    lineage = lineage_hash(cfg, TIER_TS + ":" + method,
+                           f"{input_id}@h{max_h}")
     # under salt_by_day a doc's hourly rows span buckets, so a
     # per-bucket skip could feed partial docs to the solver — resume
     # only when buckets are doc-pure

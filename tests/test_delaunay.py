@@ -123,3 +123,15 @@ def test_duplicate_points_are_jittered():
     assert all(max(t) < len(pts) for t in tris)
     # deterministic across calls
     assert tris == delaunay_triangles(pts.copy())
+
+
+def test_collinear_point_on_hull_edge():
+    """A point exactly ON a hull edge's supporting line must split the
+    edge, not survive as a degenerate zero-area triangle (the symbolic
+    1-super predicate counts on-line points as inside the limiting
+    disk)."""
+    pts = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 1.0], [1.0, 0.0]])
+    e = delaunay_edges(pts)
+    assert (0, 1) not in e          # the split edge
+    assert {(0, 3), (1, 3), (2, 3)} <= e
+    assert e == _exact_delaunay_edges(pts)

@@ -63,3 +63,32 @@ def test_dostep_runs_single_step(spark, workdir, capsys):
                       "--buckets", "4", "--dostep", "cascade"])
     assert m["steps"] == ["cascade"]
     assert "retention" not in m and "invert" not in m
+
+
+def test_invert_recomputes_after_tier_extension(spark, workdir, capsys):
+    """The inversion checkpoint lineage hashes the 1h tier's content
+    watermark: extending the tier must invalidate bucket completions
+    (a config-only lineage silently served stale timeseries)."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.sources.catalog import TierStore
+
+    args = ["--warehouse", workdir, "--scale", "tiny", "--buckets", "4",
+            "--steps", "cascade,invert"]
+    m1 = _run(capsys, args)
+    assert m1["invert"]["buckets_processed"] > 0
+    # extend the 1h tier (new hours -> new max watermark), using the
+    # incremental path's materialize-then-merge protocol
+    store = TierStore(workdir)
+    t = store.read(spark, "rollup_1h")
+    extended = t.unionByName(
+        t.withColumn("hour_idx", F.col("hour_idx") + 1000)
+    ).localCheckpoint(eager=True)
+    store.merge_partitions(extended, "rollup_1h")
+    m2 = _run(capsys, ["--warehouse", workdir, "--scale", "tiny",
+                       "--buckets", "4", "--dostep", "invert"])
+    assert m2["invert"]["buckets_processed"] > 0, m2
+    # and with NO change, the rerun still no-ops
+    m3 = _run(capsys, ["--warehouse", workdir, "--scale", "tiny",
+                       "--buckets", "4", "--dostep", "invert"])
+    assert m3["invert"]["buckets_processed"] == 0, m3
