@@ -530,7 +530,13 @@ def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 16,
     driver-side sample model (similarity.fit_ivf_codebook — pure
     NumPy, engine-independent), so the SAME 6-dp centroid literals are
     embedded in both plans; assignment replicates the rounded
-    squared-L2 with smallest-cell tiebreak."""
+    squared-L2 with smallest-cell tiebreak.
+
+    Directory coupling: the Spark query fits from its runtime sf_dir
+    while this SQL fits from $SPARK_GRAFT_SF_DIR_T2 (default sf0.01,
+    the directory the driver registers the DuckDB views from) —
+    oracle_sql() takes no sf_dir, so the env var is the contract for
+    pointing BOTH the views and this fit at a non-default directory."""
     import os
 
     from miaplpy_spark.functions.similarity import fit_ivf_codebook
