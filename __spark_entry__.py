@@ -263,6 +263,28 @@ def _retention_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_ntok", 6).alias("mean_ntok")), wh)
 
 
+def _banded_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified BANDED network inversion (conn=3, the
+    reference's default connNum — J1, miaplpyApp.py:414-422): over the
+    slowly-varying fixture every wrapped pair diff within the band
+    equals the exact unwrapped difference, so the overdetermined
+    banded least-squares system is consistent and its unique solution
+    is the unwrapped cumsum — which the DuckDB oracle computes as a
+    window cumsum. Unlike q32's exactly-determined chain, this gate
+    exercises the genuine overdetermined solve (redundant
+    observations, pseudo-inverse path) with a value-level oracle."""
+    from miaplpy_spark.config import EngineConfig
+    from miaplpy_spark.operators.network_inversion import invert_network
+    from miaplpy_spark.oracle_fixtures import (fixture_hourly_smooth,
+                                               project_banded_inversion)
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    hourly = fixture_hourly_smooth(spark, n_docs=12, n_hours=48,
+                                   n_buckets=4)
+    inv = invert_network(hourly, cfg, conn=3, method="L2")
+    return project_banded_inversion(inv)
+
+
 def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-certified Structured Streaming ingestion: the fixture's
     observation rows land as FOUR parquet files consumed one file per
@@ -389,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, method="WLS"),
         "q37_l1_inversion": lambda s, d: _network_inversion(
             s, d, method="L1"),
+        "q52_banded_inversion": _banded_inversion,
     }
 
 
@@ -687,7 +710,8 @@ def _q47_sql(k: int = 3, w: int = 4) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from miaplpy_spark.oracle_fixtures import (cascade_oracle_sql,
+    from miaplpy_spark.oracle_fixtures import (banded_inversion_oracle_sql,
+                                               cascade_oracle_sql,
                                                compress_oracle_sql,
                                                hourly_oracle_sql,
                                                inversion_oracle_sql)
@@ -706,6 +730,8 @@ def oracle_sql() -> dict[str, str]:
         "q32_network_inversion": inv_sql,
         "q36_weighted_inversion": inv_sql,
         "q37_l1_inversion": inv_sql,
+        "q52_banded_inversion": banded_inversion_oracle_sql(
+            n_docs=12, n_hours=48),
         "q47_winnow_fingerprints": _q47_sql(),
         "q48_cross_source_overlap": """
             SELECT md5(lower(array_to_string(
