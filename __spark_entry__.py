@@ -139,20 +139,16 @@ def _compressed_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("blob_bytes") > 0).alias("has_blob"))
 
 
-def _network_inversion(spark: SparkSession, sf_dir: str,
-                       method: str = "L2") -> DataFrame:
-    """Driver-certified network inversion: a planted hourly phase tier
-    (oracle_fixtures.fixture_hourly) runs through the real
-    invert_network operator with ``conn=1``, whose sequential-chain
-    pair network (J1 with connNum=1, miaplpyApp.py:414-422) is exactly
+def _chain_inversion(spark: SparkSession, method: str) -> DataFrame:
+    """One conn=1 chain inversion leg over the planted hourly phase
+    tier (oracle_fixtures.fixture_hourly): the sequential-chain pair
+    network (J1 with connNum=1, miaplpyApp.py:414-422) is exactly
     determined — the unique least-squares solution is the running sum
     of wrapped phase diffs, which the DuckDB oracle computes as a
     window cumsum, and the zero-residual network pins inv_quality to
     1.0 for every method. L2 / coherence-weighted WLS / IRLS-L1 all
-    traverse their full solver paths (weights and IRLS sweeps included;
-    the chain makes their answers provably identical). The banded
-    conn=3 network and gappy/redundant solves stay pytest-proven
-    (tests/test_lstsq.py, tests/test_network_inversion.py)."""
+    traverse their full solver paths (weights and IRLS sweeps
+    included; the chain makes their answers provably identical)."""
     from miaplpy_spark.config import EngineConfig
     from miaplpy_spark.operators.network_inversion import invert_network
     from miaplpy_spark.oracle_fixtures import (fixture_hourly,
@@ -162,7 +158,34 @@ def _network_inversion(spark: SparkSession, sf_dir: str,
     hourly = fixture_hourly(spark, n_docs=12, n_hours=48, n_buckets=4)
     kw = {"l1_alpha": 0.0} if method == "L1" else {}
     inv = invert_network(hourly, cfg, conn=1, method=method, **kw)
-    return project_inversion_scalars(inv)
+    return (project_inversion_scalars(inv)
+            .withColumn("method", F.lit(method.lower())))
+
+
+def _network_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified network inversion, L2 family: the conn=1
+    exactly-determined chain solve (method='l2') UNIONed with the
+    OVERDETERMINED conn=3 banded solve over the slowly-varying smooth
+    fixture (method='l2_banded', _banded_inversion) so BOTH the square
+    and the redundant/pseudo-inverse solver paths are certified in one
+    driver row budget. Doc-id prefixes differ per leg (invdoc/smdoc),
+    so the union is disjoint and row-sortable. Gappy solves stay
+    pytest-proven (tests/test_lstsq.py, tests/test_network_inversion
+    .py)."""
+    return _chain_inversion(spark, "L2").unionByName(
+        _banded_inversion(spark, sf_dir).withColumn(
+            "method", F.lit("l2_banded")))
+
+
+def _robust_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified robust-method inversions: coherence-weighted
+    WLS (A20, dev/ifgram_inversion_L1L2.py:300-340) UNIONed with
+    IRLS-L1 (A17, dev/ifgram_inversion_L1L2.py:378-417), both run
+    end-to-end on the conn=1 chain where their full solver paths
+    (weight mapping, IRLS sweeps) execute yet the exact solution is
+    the same closed-form cumsum the oracle computes."""
+    return _chain_inversion(spark, "WLS").unionByName(
+        _chain_inversion(spark, "L1"))
 
 
 def _incremental_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,11 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_checkpointed_cascade": _checkpointed_cascade,
         "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": _network_inversion,
-        "q36_weighted_inversion": lambda s, d: _network_inversion(
-            s, d, method="WLS"),
-        "q37_l1_inversion": lambda s, d: _network_inversion(
-            s, d, method="L1"),
-        "q52_banded_inversion": _banded_inversion,
+        "q36_weighted_inversion": _robust_inversion,
     }
 
 
@@ -727,11 +746,18 @@ def oracle_sql() -> dict[str, str]:
         "q46_retention_tiered_read": hourly_oracle_sql(
             n_docs=8, n_slots=960, mean_only=True),
         "q43_delaunay_network": _q43_sql(),
-        "q32_network_inversion": inv_sql,
-        "q36_weighted_inversion": inv_sql,
-        "q37_l1_inversion": inv_sql,
-        "q52_banded_inversion": banded_inversion_oracle_sql(
-            n_docs=12, n_hours=48),
+        # q32/q36 are two-leg unions (see _network_inversion /
+        # _robust_inversion): the oracle tags each leg with the same
+        # method literal the Spark side adds, so row sets align.
+        "q32_network_inversion": (
+            f"SELECT *, 'l2' AS method FROM ({inv_sql})"
+            " UNION ALL "
+            f"SELECT *, 'l2_banded' AS method FROM"
+            f" ({banded_inversion_oracle_sql(n_docs=12, n_hours=48)})"),
+        "q36_weighted_inversion": (
+            f"SELECT *, 'wls' AS method FROM ({inv_sql})"
+            " UNION ALL "
+            f"SELECT *, 'l1' AS method FROM ({inv_sql})"),
         "q47_winnow_fingerprints": _q47_sql(),
         "q48_cross_source_overlap": """
             SELECT md5(lower(array_to_string(
