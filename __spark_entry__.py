@@ -574,16 +574,15 @@ def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 16,
     embedded in both plans; assignment replicates the rounded
     squared-L2 with smallest-cell tiebreak.
 
-    Directory coupling: the Spark query fits from its runtime sf_dir
-    while this SQL fits from $SPARK_GRAFT_SF_DIR_T2 (default sf0.01,
-    the directory the driver registers the DuckDB views from) —
-    oracle_sql() takes no sf_dir, so the env var is the contract for
-    pointing BOTH the views and this fit at a non-default directory."""
-    import os
-
-    from miaplpy_spark.functions.similarity import fit_ivf_codebook
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
-    cents = fit_ivf_codebook(sf_dir, n_cells, dim)
+    Directory coupling: BOTH the Spark query (via ivf_train_centroids)
+    and this SQL resolve the fit corpus through the single
+    similarity.codebook_fit_dir() helper ($SPARK_GRAFT_SF_DIR_T2,
+    default sf0.01 — the directory the driver registers the DuckDB
+    views from), so the two fits cannot diverge whatever sf_dir the
+    driver passes at query time."""
+    from miaplpy_spark.functions.similarity import (codebook_fit_dir,
+                                                    fit_ivf_codebook)
+    cents = fit_ivf_codebook(codebook_fit_dir(), n_cells, dim)
     d2 = ("round(list_dot_product(e.v, e.v)"
           " - 2 * list_dot_product(e.v, {c})"
           " + {cc}, 6)")

@@ -294,6 +294,10 @@ transfer + batched NumPy eigendecompositions + both tier aggregations
 def headline() -> None:
     import __spark_entry__ as entrymod
 
+    # fit the IVF codebook from the benched corpus (codebook_fit_dir
+    # defaults to the sf0.01 oracle directory otherwise), keeping q42
+    # timings comparable across rounds
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR_T2", SF_DIR)
     spark = _get_spark(CPUS)
     qs = entrymod.queries()
     names = [

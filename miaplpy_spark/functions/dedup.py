@@ -86,6 +86,11 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
                 F.slice("sig", F.col("band") * rpb + 1, rpb),
                 lambda x: x.cast("string")), ","))).alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
+    # candidate dedup keys on the id pair ONLY (similarity.py's
+    # lsh_near_pairs pattern): a pair colliding in several bands would
+    # otherwise carry its two 32-long signature arrays (~512 B/row)
+    # through the distinct's shuffle key; first() is safe because sig
+    # is functionally determined by doc_id
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -93,7 +98,9 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
                     F.col("b.doc_id").alias("doc2"),
                     F.col("a.sig").alias("sig1"),
                     F.col("b.sig").alias("sig2"))
-            .distinct())
+            .groupBy("doc1", "doc2")
+            .agg(F.first("sig1").alias("sig1"),
+                 F.first("sig2").alias("sig2")))
     est = cand.select(
         "doc1", "doc2",
         F.round(
@@ -160,7 +167,22 @@ def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12,
     """SimHash near-dup pairs by Hamming distance over 3 x 16-bit band
     blocks (union of three blocked joins, deduped on the id pair —
     simhashes ride along as plain longs, so the distinct never
-    compares wide keys)."""
+    compares wide keys).
+
+    Recall guarantee (be precise — round-3 ADVICE): with ``n_bands``
+    disjoint bands the pigeonhole only GUARANTEES pairs with Hamming
+    < n_bands (default 3). A pair with h ≥ n_bands flipped bits
+    surfaces iff at least one band is untouched; for UNIFORMLY placed
+    flips over 48 bits that probability (inclusion–exclusion over the
+    3×16 bands) is 0.763 at h=3, 0.22 at h=6, 0.01 at h=12 — real
+    SimHash near-dups concentrate at small h, where the blocking is
+    strong, but "max_hamming=12" is a post-FILTER on surfaced
+    candidates, NOT an exhaustive Hamming ≤ 12 search. The DuckDB
+    oracle mirrors the SAME blocking, so the gate certifies the
+    blocked semantics, not exhaustive recall. Exact recall at
+    Hamming ≤ 12 would need 13 disjoint bands of <4 bits (block
+    population n/2^3.7 — near-quadratic join input) or multi-probe;
+    the 3×16 default is the standard scale trade."""
     d = _docs(spark, sf_dir)
     cand = simhash_candidates(simhash(d), n_bands)
     return (cand.select(

@@ -157,13 +157,18 @@ def run_inversion_step(
     ckpt = CheckpointLog(store)
     df_1h = store.read(spark, TIER_1H)
     # the lineage must hash the 1h tier's CONTENT IDENTITY, not just
-    # the config: after an incremental extension the same (cfg, method,
-    # input_id) would otherwise keep every bucket checkpointed and the
-    # timeseries table would silently go stale. The tier's max hour is
-    # a cheap monotone content fingerprint (one min/max-stat scan).
-    max_h = df_1h.agg(F.max("hour_idx")).collect()[0][0]
+    # the config: after ANY change to the tier — incremental extension,
+    # a late-arriving recompute of the open boundary hour (same row
+    # count, same max hour, new values), retention aging hot days away
+    # — the same (cfg, method, input_id) would otherwise keep every
+    # bucket checkpointed and the timeseries table would silently go
+    # stale. content_token is the store's write-snapshot identity
+    # (Iceberg snapshot id / parquet file-listing hash), so it moves
+    # with every committed write; it also replaces the old
+    # max(hour_idx) fingerprint's extra Spark job with a metadata read.
+    token = store.content_token(spark, TIER_1H)
     lineage = lineage_hash(cfg, TIER_TS + ":" + method,
-                           f"{input_id}@h{max_h}")
+                           f"{input_id}@{token}")
     # under salt_by_day a doc's hourly rows span buckets, so a
     # per-bucket skip could feed partial docs to the solver — resume
     # only when buckets are doc-pure

@@ -94,6 +94,40 @@ class TierStore:
            .partitionBy(*cols)
            .parquet(self.path(table)))
 
+    def content_token(self, spark: SparkSession, table: str) -> str:
+        """Cheap content-identity token for checkpoint lineage: moves
+        whenever the table's stored data changes, however it changed
+        (MERGE of an existing partition, retention delete, append,
+        in-place recompute of a boundary hour) — unlike a max-index
+        watermark, which only sees max-advancing extensions (round-3
+        ADVICE). Iceberg: the current snapshot id, a metadata-only
+        read. Parquet fallback: hash of the sorted data-file listing
+        (relpath, size, mtime_ns) — every committed write creates or
+        rewrites files, so any content change moves the token; the
+        listing costs the same O(files) metadata pass that planning a
+        scan of the table does (on object stores this is the one
+        LIST call the scan would issue anyway)."""
+        if not self.exists(spark, table):
+            return "absent"
+        if self.use_iceberg:
+            rows = spark.sql(
+                f"SELECT snapshot_id FROM {self.namespace}.{table}.snapshots"
+                " ORDER BY committed_at DESC LIMIT 1").collect()
+            return str(rows[0][0]) if rows else "empty"
+        import hashlib
+        base = self.path(table)
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(base)):
+            dirs.sort()
+            for fn in sorted(files):
+                if fn.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                h.update(f"{os.path.relpath(p, base)}|{st.st_size}|"
+                         f"{st.st_mtime_ns}\n".encode())
+        return h.hexdigest()[:16]
+
     def append(self, df: DataFrame, table: str) -> None:
         if self.use_iceberg:
             df.writeTo(f"{self.namespace}.{table}").append()

@@ -7,10 +7,16 @@ Step list (the reference's miaplpyApp.py:30-59 ``STEP_LIST`` +
     cascade    raw -> 1h -> 1d checkpointed tier jobs
                (or the watermark-incremental extension with
                --incremental)
-    retention  hot 1h rows older than --retention-day move into the
-               DoD+Gorilla compressed cold tier
     invert     hot 1h tier -> per-doc least-squares timeseries table
                (checkpointed per bucket; --invert-method L2|WLS|L1)
+    retention  hot 1h rows older than --retention-day move into the
+               DoD+Gorilla compressed cold tier
+
+Invert runs BEFORE retention (round-3 ADVICE): the solver consumes
+the per-hour linked_phase ensembles, which only the HOT tier retains
+(the cold tier keeps summary series), so inverting after aging would
+silently drop aged days from ts_series. The reference likewise runs
+ifgram_inversion on the full stack before any history compaction.
 
 Cluster launch (north_rule):
 
@@ -51,7 +57,7 @@ from miaplpy_spark.operators.cascade import (
 from miaplpy_spark.operators.compress import apply_retention_1h
 from miaplpy_spark.sources.catalog import TierStore
 
-STEP_LIST = ["cascade", "retention", "invert"]
+STEP_LIST = ["cascade", "invert", "retention"]
 
 
 def select_steps(steps: str, start: str | None, dostep: str | None) -> list[str]:
@@ -122,6 +128,11 @@ def main(argv=None) -> int:
                 spark, obs, store, cfg, input_id=input_id,
                 resume=not args.no_resume)
 
+    if "invert" in steps:
+        metrics["invert"] = run_inversion_step(
+            spark, store, cfg, method=args.invert_method,
+            input_id=input_id, resume=not args.no_resume)
+
     if "retention" in steps:
         from pyspark.sql import functions as F
         boundary = args.retention_day
@@ -132,11 +143,6 @@ def main(argv=None) -> int:
             boundary = int(max_day or 0)   # newest day stays hot
         metrics["retention"] = apply_retention_1h(spark, store, boundary, cfg)
         metrics["retention"]["day_boundary"] = boundary
-
-    if "invert" in steps:
-        metrics["invert"] = run_inversion_step(
-            spark, store, cfg, method=args.invert_method,
-            input_id=input_id, resume=not args.no_resume)
 
     metrics["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))

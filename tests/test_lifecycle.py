@@ -10,11 +10,15 @@ from scripts.run_cascade import STEP_LIST, main, select_steps
 
 
 def test_select_steps_contract():
+    # canonical order is cascade -> invert -> retention: the solver
+    # needs the hot tier's linked_phase ensembles, which retention
+    # ages away (round-3 ADVICE)
+    assert STEP_LIST == ["cascade", "invert", "retention"]
     assert select_steps("cascade,retention,invert", None, None) == STEP_LIST
     # canonical order regardless of input order
     assert select_steps("invert,cascade", None, None) == ["cascade", "invert"]
-    assert select_steps("cascade,retention,invert", "retention", None) == [
-        "retention", "invert"]
+    assert select_steps("cascade,retention,invert", "invert", None) == [
+        "invert", "retention"]
     assert select_steps("cascade,retention,invert", None, "invert") == [
         "invert"]
     with pytest.raises(SystemExit):
@@ -41,12 +45,21 @@ def test_full_lifecycle_then_noop_rerun(spark, workdir, capsys):
     assert m1["invert"]["rows_written"] > 0
 
     m2 = _run(capsys, args)
-    # every step individually no-ops on rerun
+    # cascade and retention no-op; invert RECOMPUTES once, because run
+    # 1's retention changed the hot tier's content token after invert
+    # checkpointed — ts_series tracks the current hot window by
+    # contract (content-identity lineage, round-3 ADVICE)
     assert m2["cascade"]["raw->1h"]["buckets_processed"] == 0
     assert m2["cascade"]["1h->1d"]["buckets_processed"] == 0
     assert m2["retention"]["n_blobs"] == 0
-    assert m2["invert"]["buckets_processed"] == 0
-    assert m2["invert"]["buckets_skipped"] > 0
+    assert m2["invert"]["buckets_processed"] > 0
+
+    m3 = _run(capsys, args)
+    # nothing moved the token after run 2's invert: full no-op
+    assert m3["cascade"]["raw->1h"]["buckets_processed"] == 0
+    assert m3["retention"]["n_blobs"] == 0
+    assert m3["invert"]["buckets_processed"] == 0
+    assert m3["invert"]["buckets_skipped"] > 0
 
     # tiered read still sees every hour exactly once after aging
     from miaplpy_spark.config import EngineConfig
@@ -92,3 +105,35 @@ def test_invert_recomputes_after_tier_extension(spark, workdir, capsys):
     m3 = _run(capsys, ["--warehouse", workdir, "--scale", "tiny",
                        "--buckets", "4", "--dostep", "invert"])
     assert m3["invert"]["buckets_processed"] == 0, m3
+
+
+def test_invert_recomputes_after_in_place_change(spark, workdir, capsys):
+    """The staleness class a max-hour watermark cannot see (round-3
+    ADVICE): an in-place recompute of existing hours — same row count,
+    same max hour, new values (what run_cascade_incremental does to
+    the open boundary hour) — must still invalidate the inversion
+    checkpoints. The content token hashes the store's write snapshot,
+    so ANY committed write moves it."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.sources.catalog import TierStore
+
+    args = ["--warehouse", workdir, "--scale", "tiny", "--buckets", "4",
+            "--steps", "cascade,invert"]
+    m1 = _run(capsys, args)
+    assert m1["invert"]["buckets_processed"] > 0
+    store = TierStore(workdir)
+    t = store.read(spark, "rollup_1h")
+    n0, maxh0 = t.count(), t.agg(F.max("hour_idx")).collect()[0][0]
+    changed = t.withColumn(
+        "linked_phase",
+        F.transform("linked_phase", lambda x: x + F.lit(0.1))
+    ).localCheckpoint(eager=True)
+    store.merge_partitions(changed, "rollup_1h")
+    t2 = store.read(spark, "rollup_1h")
+    # the change is invisible to count/max-watermark fingerprints
+    assert t2.count() == n0
+    assert t2.agg(F.max("hour_idx")).collect()[0][0] == maxh0
+    m2 = _run(capsys, ["--warehouse", workdir, "--scale", "tiny",
+                      "--buckets", "4", "--dostep", "invert"])
+    assert m2["invert"]["buckets_processed"] > 0, m2
