@@ -16,6 +16,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+# second xxhash64 salt for wide (128-bit) doc-key mode — shared by the
+# kernels (rollup.with_doc_keys) and the dimension generator so the
+# join keys always agree
+DOC_KEY2_SALT = 0x61C8864680B583EB  # fits signed int64 (F.lit)
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     # time grid
@@ -49,6 +55,12 @@ class EngineConfig:
     # (doc_id, day) instead of doc_id alone, so a single giant doc
     # spreads across partitions while every 1h/1d window's rows stay
     # co-located (windows never span a day boundary)
+    wide_doc_key: bool = False         # 128-bit doc key: group/sort/
+    # join on (doc_key, doc_key2) = two xxhash64 salts. A single
+    # 64-bit key expects ~3e4 birthday collisions at 10^12 docs (each
+    # silently merging two docs' windows); the joint key makes that
+    # ~2^-64. Off by default — the second long costs ~8 B/row through
+    # the shuffle and sandbox scales sit at ~1e-11 collision odds.
     arrow_batch: int = 2048
 
     # datagen (FIXTURES.md F1)

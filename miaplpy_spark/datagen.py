@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .config import SCALES, EngineConfig, ScaleSpec
+from .config import DOC_KEY2_SALT, SCALES, EngineConfig, ScaleSpec
 
 
 def _u(seed_tag: str, *cols):
@@ -194,5 +194,8 @@ def generate_doc_dim(spark: SparkSession, scale: str | ScaleSpec = "tiny",
     src = F.lit(cfg.sources[-1])
     for name, thr in reversed(list(zip(cfg.sources[:-1], thresholds[:-1]))):
         src = F.when(u < thr, F.lit(name)).otherwise(src)
-    return df.select(F.xxhash64("doc_id").alias("doc_key"),
-                     "doc_id", src.alias("source"))
+    keys = [F.xxhash64("doc_id").alias("doc_key")]
+    if getattr(cfg, "wide_doc_key", False):
+        keys.append(F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id"))
+                     .alias("doc_key2"))
+    return df.select(*keys, "doc_id", src.alias("source"))

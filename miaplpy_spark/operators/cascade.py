@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import EngineConfig
 from ..sources.catalog import TierStore
 from .checkpoint import CheckpointLog
-from .rollup import attach_doc_dim, rollup_1d, rollup_1h
+from .rollup import (attach_doc_dim, rollup_1d, rollup_1h,
+                     with_doc_keys)
 
 TIER_1H, TIER_1D = "rollup_1h", "rollup_1d"
 
@@ -113,9 +114,7 @@ def run_cascade(
     just before each MERGE, so tier-table schemas are unchanged."""
     ckpt = CheckpointLog(store)
     if doc_dim is not None:
-        if "doc_key" not in raw_obs.columns:
-            raw_obs = raw_obs.withColumn("doc_key", F.xxhash64("doc_id"))
-        raw_obs = raw_obs.drop("doc_id", "source")
+        raw_obs = with_doc_keys(raw_obs, cfg).drop("doc_id", "source")
 
         def fn_1h(inp, cfg, counts_acc=None):
             return attach_doc_dim(
@@ -258,9 +257,7 @@ def run_cascade_incremental(
     if doc_dim is not None:
         # string-free scaling path (same contract as run_cascade):
         # kernels run on doc_key; strings join onto tier-sized output
-        if "doc_key" not in raw_obs.columns:
-            raw_obs = raw_obs.withColumn("doc_key", F.xxhash64("doc_id"))
-        raw_obs = raw_obs.drop("doc_id", "source")
+        raw_obs = with_doc_keys(raw_obs, cfg).drop("doc_id", "source")
         _1h = lambda inp, cfg: attach_doc_dim(rollup_1h(inp, cfg), doc_dim)
         _1d = lambda inp, cfg: attach_doc_dim(
             rollup_1d(inp.drop("doc_id", "source"), cfg), doc_dim)

@@ -227,6 +227,14 @@ def rollup_cascade_fused(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
     ``fused.filter("tier = '1h'")`` / ``filter("tier = '1d'")`` (persist
     first when writing both)."""
     p = num_partitions or cfg.n_buckets
+    if getattr(cfg, "wide_doc_key", False):
+        # the fused single-pass variant is the measured-slower
+        # experiment (BENCH r3: 997k vs 1.05M pts/s) kept for study;
+        # 128-bit keys are wired through the default tiered path +
+        # inversion only. Fail loudly rather than silently grouping
+        # on the narrow key.
+        raise ValueError("wide_doc_key is not supported by the fused "
+                         "cascade; use the default tiered path")
     if "doc_key" not in obs.columns:
         obs = obs.withColumn("doc_key", F.xxhash64("doc_id"))
     tok_col = "ztok" if "ztok" in obs.columns else "zphi"

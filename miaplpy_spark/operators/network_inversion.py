@@ -67,22 +67,26 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
                     F.lit(0.0), lambda a, x: a + x))
     q_col = (F.col("quality") if "quality" in df_1h.columns
              else F.lit(1.0))  # unweighted when the tier carries no quality
-    slim = df_1h.select(
-        "doc_id",
-        F.xxhash64("doc_id").alias("doc_key"),
+    wide = getattr(cfg, "wide_doc_key", False)
+    from .rollup import with_doc_keys
+    keyed = with_doc_keys(df_1h, cfg)
+    key_cols = ["doc_key"] + (["doc_key2"] if wide else [])
+    slim = keyed.select(
+        "doc_id", *key_cols,
         "source", "bucket", "hour_idx",
         theta.cast("double").alias("theta"),
         q_col.cast("double").alias("q"))
 
     out_schema = _pa_schema(INVERSION_SCHEMA)
-    num_cols = ["doc_key", "hour_idx", "bucket", "theta", "q"]
+    num_cols = ["doc_key", "hour_idx", "bucket", "theta", "q"] + (
+        ["doc_key2"] if wide else [])
 
     def process(num: dict, lookup) -> pa.RecordBatch | None:
         dk = num["doc_key"]
         hr = num["hour_idx"]
         t = num["theta"]
         q = num["q"]
-        starts = _group_starts(dk, dk)
+        starts = _group_starts(dk, dk, num.get("doc_key2"))
         ends = np.append(starts[1:], dk.shape[0])
 
         by_n: dict[int, list[int]] = {}
@@ -151,7 +155,7 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
             num, lookup = _concat(carry, num, strs)
             carry = None
             dk = num["doc_key"]
-            starts = _group_starts(dk, dk)
+            starts = _group_starts(dk, dk, num.get("doc_key2"))
             last = starts[-1]
             n = dk.shape[0]
             if last == 0:
@@ -174,5 +178,5 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     # sorter so the kernel can stream with a bounded carry.
     p = num_partitions or cfg.n_buckets
     return (slim.repartition(p, "doc_key")
-                .sortWithinPartitions("doc_key", "hour_idx")
+                .sortWithinPartitions(*key_cols, "hour_idx")
                 .mapInArrow(kernel, INVERSION_SCHEMA))

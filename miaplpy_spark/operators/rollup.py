@@ -20,9 +20,13 @@ Three deliberate choices, each measured in this sandbox:
    overhead on 9M rows, and it does not parallelize well); the Arrow
    kernel reshapes the list column's flat value buffer zero-copy.
 3. sort key is ``doc_key`` (xxhash64 of doc_id), not the string —
-   long sorts are ~3x cheaper through the shuffle sorter. (Collision
-   odds at sandbox scale ~1e-11; a 10^12-doc deployment should widen
-   to a 128-bit key, e.g. two xxhash64 salts.)
+   long sorts are ~3x cheaper through the shuffle sorter. Collision
+   odds at sandbox scale ~1e-11; a 10^12-doc deployment sets
+   ``EngineConfig.wide_doc_key`` to group/sort/join on a 128-bit
+   (doc_key, doc_key2) pair — two xxhash64 salts, wired through both
+   tier kernels, attach_doc_dim, and the inversion
+   (tests/test_wide_doc_key.py proves narrow-equality and planted-
+   collision separation).
 
 Window semantics: each 1h window (= 10 raw slots = one mini-stack,
 defaults/miaplpyApp_auto.cfg:19) is phase-linked independently and
@@ -53,7 +57,7 @@ import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..config import EngineConfig
+from ..config import DOC_KEY2_SALT, EngineConfig
 from ..kernels import phase_linking as pl
 from ..kernels import shp as shp_kernels
 from ..kernels.gapfill import fill_dense_batch
@@ -83,6 +87,34 @@ def _strip_strings(ddl: str) -> str:
 
 ROLLUP_1H_CORE_SCHEMA = _strip_strings(ROLLUP_1H_SCHEMA)
 ROLLUP_1D_CORE_SCHEMA = _strip_strings(ROLLUP_1D_SCHEMA)
+
+# xxhash64 over (salt, doc_id) is an independent hash family member,
+# so P(joint collision) ~ 2^-128 — negligible at 10^12 docs
+_KEY2_SALT = DOC_KEY2_SALT
+
+
+def _widen_key(ddl: str, wide: bool) -> str:
+    """Insert doc_key2 after doc_key in a tier DDL when wide mode on."""
+    if not wide:
+        return ddl
+    return ddl.replace("doc_key long", "doc_key long, doc_key2 long", 1)
+
+
+def with_doc_keys(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Attach the hashed doc key column(s) the kernels sort/group on:
+    doc_key = xxhash64(doc_id), plus doc_key2 = xxhash64(salt, doc_id)
+    in wide mode. String-free inputs must already carry them."""
+    if "doc_key" not in df.columns:
+        if "doc_id" not in df.columns:
+            raise ValueError("string-free input must carry doc_key")
+        df = df.withColumn("doc_key", F.xxhash64("doc_id"))
+    if getattr(cfg, "wide_doc_key", False) and "doc_key2" not in df.columns:
+        if "doc_id" not in df.columns:
+            raise ValueError("wide_doc_key string-free input must carry "
+                             "doc_key2")
+        df = df.withColumn(
+            "doc_key2", F.xxhash64(F.lit(_KEY2_SALT), F.col("doc_id")))
+    return df
 
 _PA_TYPES = {
     "string": pa.string(), "long": pa.int64(), "int": pa.int32(),
@@ -134,11 +166,24 @@ def _ensemble_phases(num: dict, vocab_size: int) -> np.ndarray:
     return num["zphi"]
 
 
-def _group_starts(key: np.ndarray, win: np.ndarray) -> np.ndarray:
+def _group_change(key: np.ndarray, win: np.ndarray,
+                  key2: np.ndarray | None = None) -> np.ndarray:
+    """Boolean new-group markers over sorted rows. ``key2`` is the
+    optional second 64-bit key of wide (128-bit) doc-key mode
+    (EngineConfig.wide_doc_key): a 10^12-doc corpus expects ~3e4
+    birthday collisions in a single 64-bit space, so group identity
+    there is (doc_key, doc_key2) — two xxhash64 salts."""
     chg = np.empty(key.shape[0], dtype=bool)
     chg[0] = True
     chg[1:] = (key[1:] != key[:-1]) | (win[1:] != win[:-1])
-    return np.flatnonzero(chg)
+    if key2 is not None:
+        chg[1:] |= key2[1:] != key2[:-1]
+    return chg
+
+
+def _group_starts(key: np.ndarray, win: np.ndarray,
+                  key2: np.ndarray | None = None) -> np.ndarray:
+    return np.flatnonzero(_group_change(key, win, key2))
 
 
 def _link_batch(Z: np.ndarray, method: str, lag: int = 0,
@@ -330,10 +375,11 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
     method, lag, ps_test = cfg.method, cfg.sbw_lag, cfg.ps_test
     shp_filter, shp_test, shp_alpha = (cfg.shp_filter, cfg.shp_test,
                                        cfg.shp_alpha)
-    out_schema = _pa_schema(ROLLUP_1H_SCHEMA if with_strings
-                            else ROLLUP_1H_CORE_SCHEMA)
+    wide = getattr(cfg, "wide_doc_key", False)
+    out_schema = _pa_schema(_widen_key(
+        ROLLUP_1H_SCHEMA if with_strings else ROLLUP_1H_CORE_SCHEMA, wide))
     num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
-                "min_tok", "max_tok"]
+                "min_tok", "max_tok"] + (["doc_key2"] if wide else [])
     list_cols = {tok_col: (S, np.int16 if tok_col == "ztok" else np.float32)}
 
     def process(num: dict, lookup) -> pa.RecordBatch:
@@ -342,10 +388,11 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
         slot = num["slot"]
         hour = slot // T
         sih = slot % T
-        starts = _group_starts(doc_key, hour)
+        key2 = num.get("doc_key2")
+        chg = _group_change(doc_key, hour, key2)
+        starts = np.flatnonzero(chg)
         G = starts.shape[0]
-        gid = np.cumsum(np.concatenate(
-            [[True], (doc_key[1:] != doc_key[:-1]) | (hour[1:] != hour[:-1])])) - 1
+        gid = np.cumsum(chg) - 1
 
         # reconstitute unit phasors from the compact transport —
         # float32 cos/sin into a preallocated complex64 (np.exp(1j*x)
@@ -389,6 +436,8 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
             arrays.append(pa.array(_take_strs(lookup, starts, "doc_id"),
                                    pa.string()))
         arrays.append(pa.array(doc_key[starts], pa.int64()))
+        if wide:
+            arrays.append(pa.array(key2[starts], pa.int64()))
         if with_strings:
             arrays.append(pa.array(_take_strs(lookup, starts, "source"),
                                    pa.string()))
@@ -417,7 +466,7 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
             carry = None
             doc_key = num["doc_key"]
             hour = num["slot"] // T
-            starts = _group_starts(doc_key, hour)
+            starts = _group_starts(doc_key, hour, num.get("doc_key2"))
             last = starts[-1]
             n = doc_key.shape[0]
             if last == 0:
@@ -447,12 +496,15 @@ def attach_doc_dim(df_core: DataFrame, doc_dim: DataFrame,
     dimension surfaces with null doc_id/source instead of silently
     vanishing (an inner join would also desynchronize the checkpoint
     rows_written metric, which counts pre-join kernel output)."""
-    dim = doc_dim.select("doc_key", "doc_id", "source")
+    keys = ["doc_key"] + (["doc_key2"]
+                          if "doc_key2" in df_core.columns
+                          and "doc_key2" in doc_dim.columns else [])
+    dim = doc_dim.select(*keys, "doc_id", "source")
     if hint_broadcast:
         dim = F.broadcast(dim)
-    rest = [c for c in df_core.columns if c != "doc_key"]
-    return (df_core.join(dim, "doc_key", "left")
-            .select("doc_id", "doc_key", "source", *rest))
+    rest = [c for c in df_core.columns if c not in keys]
+    return (df_core.join(dim, keys, "left")
+            .select("doc_id", *keys, "source", *rest))
 
 
 def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
@@ -476,21 +528,22 @@ def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
     inputs written by sources.sequences.write_sequences under its
     bucketed-read contract (one sorted unsplit file per bucket)."""
     p = num_partitions or cfg.n_buckets
+    wide = getattr(cfg, "wide_doc_key", False)
     with_strings = "doc_id" in obs.columns
-    if "doc_key" not in obs.columns:
-        if not with_strings:
-            raise ValueError("string-free input must carry doc_key")
-        obs = obs.withColumn("doc_key", F.xxhash64("doc_id"))
+    obs = with_doc_keys(obs, cfg)
     tok_col = "ztok" if "ztok" in obs.columns else "zphi"
+    key_cols = ["doc_key"] + (["doc_key2"] if wide else [])
     cols = ((["doc_id", "source"] if with_strings else [])
-            + ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
-               "min_tok", "max_tok", tok_col])
+            + key_cols + ["slot", "bucket", "n_tok", "sum_tok",
+                          "min_tok", "max_tok", tok_col])
     obs = obs.select(*cols)
     part = obs if assume_partitioned else (
-        obs.repartition(p, "bucket").sortWithinPartitions("doc_key", "slot"))
+        obs.repartition(p, "bucket")
+           .sortWithinPartitions(*key_cols, "slot"))
     out = part.mapInArrow(
         make_rollup_1h_kernel(cfg, counts_acc, tok_col, with_strings),
-        ROLLUP_1H_SCHEMA if with_strings else ROLLUP_1H_CORE_SCHEMA)
+        _widen_key(ROLLUP_1H_SCHEMA if with_strings
+                   else ROLLUP_1H_CORE_SCHEMA, wide))
     return out.withColumn(
         "hour_ts",
         F.timestamp_seconds(F.lit(cfg.epoch0)
@@ -501,10 +554,12 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
                           with_strings: bool = True):
     H, S, T = cfg.hours_per_day, cfg.n_samples, cfg.slots_per_hour
     method = cfg.method
-    out_schema = _pa_schema(ROLLUP_1D_SCHEMA if with_strings
-                            else ROLLUP_1D_CORE_SCHEMA)
+    wide = getattr(cfg, "wide_doc_key", False)
+    out_schema = _pa_schema(_widen_key(
+        ROLLUP_1D_SCHEMA if with_strings else ROLLUP_1D_CORE_SCHEMA, wide))
     num_cols = ["doc_key", "hour_idx", "bucket", "n_obs", "n_filled",
-                "sum_tok", "min_tok", "max_tok", "mean_ntok", "quality"]
+                "sum_tok", "min_tok", "max_tok", "mean_ntok", "quality"
+                ] + (["doc_key2"] if wide else [])
     list_cols = {"linked_phase": (T, np.float32),
                  "squeezed": (2 * S, np.float32)}
 
@@ -514,10 +569,11 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
         hour_idx = num["hour_idx"]
         day = hour_idx // H
         hid = hour_idx % H
-        starts = _group_starts(doc_key, day)
+        key2 = num.get("doc_key2")
+        chg = _group_change(doc_key, day, key2)
+        starts = np.flatnonzero(chg)
         G = starts.shape[0]
-        gid = np.cumsum(np.concatenate(
-            [[True], (doc_key[1:] != doc_key[:-1]) | (day[1:] != day[:-1])])) - 1
+        gid = np.cumsum(chg) - 1
 
         sq_in = num["squeezed"]
         sq = sq_in[:, :S] + 1j * sq_in[:, S:]
@@ -558,6 +614,8 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
             arrays.append(pa.array(_take_strs(lookup, starts, "doc_id"),
                                    pa.string()))
         arrays.append(pa.array(doc_key[starts], pa.int64()))
+        if wide:
+            arrays.append(pa.array(key2[starts], pa.int64()))
         if with_strings:
             arrays.append(pa.array(_take_strs(lookup, starts, "source"),
                                    pa.string()))
@@ -589,7 +647,7 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
             carry = None
             doc_key = num["doc_key"]
             day = num["hour_idx"] // H
-            starts = _group_starts(doc_key, day)
+            starts = _group_starts(doc_key, day, num.get("doc_key2"))
             last = starts[-1]
             n = doc_key.shape[0]
             if last == 0:
@@ -625,22 +683,22 @@ def rollup_1d(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     kernels then never see a doc_id/source byte — attach_doc_dim joins
     the strings onto the G-row outputs."""
     p = num_partitions or cfg.n_buckets
+    wide = getattr(cfg, "wide_doc_key", False)
     with_strings = "doc_id" in df_1h.columns
-    if "doc_key" not in df_1h.columns:
-        if not with_strings:
-            raise ValueError("string-free input must carry doc_key")
-        df_1h = df_1h.withColumn("doc_key", F.xxhash64("doc_id"))
+    df_1h = with_doc_keys(df_1h, cfg)
+    key_cols = ["doc_key"] + (["doc_key2"] if wide else [])
     cols = ((["doc_id", "source"] if with_strings else [])
-            + ["doc_key", "bucket", "hour_idx", "n_obs", "n_filled",
-               "sum_tok", "min_tok", "max_tok", "mean_ntok",
-               "linked_phase", "squeezed", "quality"])
+            + key_cols + ["bucket", "hour_idx", "n_obs", "n_filled",
+                          "sum_tok", "min_tok", "max_tok", "mean_ntok",
+                          "linked_phase", "squeezed", "quality"])
     part = df_1h.select(*cols)
     if not assume_partitioned:
         part = (part.repartition(p, "bucket")
-                    .sortWithinPartitions("doc_key", "hour_idx"))
+                    .sortWithinPartitions(*key_cols, "hour_idx"))
     out = part.mapInArrow(
         make_rollup_1d_kernel(cfg, counts_acc, with_strings),
-        ROLLUP_1D_SCHEMA if with_strings else ROLLUP_1D_CORE_SCHEMA)
+        _widen_key(ROLLUP_1D_SCHEMA if with_strings
+                   else ROLLUP_1D_CORE_SCHEMA, wide))
     return out.withColumn(
         "day_ts",
         F.timestamp_seconds(F.lit(cfg.epoch0)
