@@ -126,6 +126,44 @@ def run_cascade_timed(spark, input_dir: str, shp_filter: bool = False) -> dict:
     }
 
 
+def run_invert_timed(spark, tier_dir: str, method: str = "L2",
+                     conn: int = 3) -> dict:
+    """Network-inversion throughput — the ONE reference-published perf
+    number (~626k px·ifg/s, dev/ifgram_inversion_L1L2.py:1436-1448).
+    The analog unit here is doc·pair/s: each doc is a pixel, each
+    banded pair an interferogram; ``pairs`` counts the rows of the
+    per-doc LS system exactly as the reference counts pixel×ifg."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.operators.network_inversion import invert_network
+
+    cfg, _ = _bench_cfg_spec()
+    t1h = spark.read.parquet(tier_dir)
+    inv = invert_network(t1h, cfg, conn=conn, method=method)
+    n = F.col("n_hours").cast("long")
+    tri = conn * (conn + 1) // 2
+    pairs = F.when(n >= conn + 1, conn * n - F.lit(tri)) \
+             .otherwise((n * (n - 1) / 2).cast("long"))
+    agg = inv.agg(F.count("*").alias("docs"),
+                  F.sum("n_hours").alias("pts"),
+                  F.sum(pairs).alias("pairs"))
+    s0, st0 = _steal_pct()
+    t0 = time.time()
+    row = agg.collect()[0]
+    total = time.time() - t0
+    s1, st1 = _steal_pct()
+    return {
+        "method": method, "conn": conn,
+        "n_docs": int(row["docs"]), "n_points": int(row["pts"]),
+        "n_pairs": int(row["pairs"]),
+        "t_total_s": round(total, 2),
+        "host_steal_pct": round(
+            100.0 * (s1 - s0) / max(st1 - st0, 1), 1),
+        "px_ifg_per_s": round(row["pairs"] / total, 1),
+        "points_per_s": round(row["pts"] / total, 1),
+    }
+
+
 def _get_spark(cores: int):
     from miaplpy_spark.session import get_spark
 
@@ -349,6 +387,26 @@ def headline() -> None:
     shp_stats["all_totals_s"] = [r["t_total_s"] for r in shp_runs]
     timings["engine_cascade_shp"] = shp_stats["t_total_s"]
 
+    # inversion operator at the same scale: materialize the 1h tier
+    # once, then time invert_network (L2 + WLS) — the direct
+    # counterpart of the reference's only published perf number
+    from miaplpy_spark.operators.rollup import (attach_doc_dim,
+                                                rollup_1h)
+    cfg_b, _ = _bench_cfg_spec()
+    obs_df = spark.read.parquet(tmp)
+    dim_df = spark.read.parquet(tmp + "_dim")
+    tier_dir = tmp + "_1h"
+    attach_doc_dim(rollup_1h(obs_df, cfg_b), dim_df) \
+        .write.mode("overwrite").parquet(tier_dir)
+    inv_runs = [run_invert_timed(spark, tier_dir, "L2")
+                for _ in range(max(3, n_cascade - 1))]
+    inv_stats = min(inv_runs, key=lambda r: r["t_total_s"])
+    inv_stats["all_totals_s"] = [r["t_total_s"] for r in inv_runs]
+    timings["engine_invert"] = inv_stats["t_total_s"]
+    inv_wls = min((run_invert_timed(spark, tier_dir, "WLS")
+                   for _ in range(3)), key=lambda r: r["t_total_s"])
+    timings["engine_invert_wls"] = inv_wls["t_total_s"]
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -359,6 +417,8 @@ def headline() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cascade": stats,
         "cascade_shp": shp_stats,
+        "invert": inv_stats,
+        "invert_wls": inv_wls,
     }))
     spark.stop()
 
