@@ -101,4 +101,7 @@ SCALES: dict[str, ScaleSpec] = {
                       tok_heavy_lo=128, tok_heavy_hi=256),
     "small": ScaleSpec(n_docs=1000, n_slots=576),
     "bench": ScaleSpec(n_docs=20000, n_slots=480),
+    # 10x the bench table (~91M observation rows after gaps) — the
+    # scale-proof input for the lifecycle CLI; still fits the sandbox
+    "bench10x": ScaleSpec(n_docs=200000, n_slots=480),
 }

@@ -84,6 +84,11 @@ def main(argv=None) -> int:
     ap.add_argument("--input", help="sequences parquet path (else synthetic)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--scale", default="small", choices=sorted(SCALES))
+    ap.add_argument("--no-tokens", action="store_true",
+                    help="synthetic mode only: emit per-row stats "
+                         "directly instead of materializing token "
+                         "arrays (bench convention — excludes synth "
+                         "ingest cost from engine measurements)")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-by-day", action="store_true",
                     help="bucket on (doc_id, day): spreads hot docs")
@@ -119,7 +124,8 @@ def main(argv=None) -> int:
         if args.input:
             raw = spark.read.parquet(args.input)
         else:
-            raw = generate_sequences(spark, args.scale, cfg)
+            raw = generate_sequences(spark, args.scale, cfg,
+                                     with_tokens=not args.no_tokens)
         obs = prepare_observations(raw, cfg)
         if args.incremental:
             metrics["cascade"] = run_cascade_incremental(spark, obs, store, cfg)
