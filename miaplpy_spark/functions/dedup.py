@@ -190,3 +190,72 @@ def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12,
                 F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
                  .cast("long").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, id1: str = "doc1",
+                         id2: str = "doc2", max_iter: int = 25) -> DataFrame:
+    """(node, component) labeling over a near-dup pair graph — the
+    step a dedup pipeline needs AFTER pair generation: A~B and B~C
+    must collapse into ONE keep-group even when A~C was never
+    surfaced. Label propagation to the component minimum:
+
+        comp(v) <- min(comp(v), min over neighbors u of comp(u))
+
+    iterated to a fixpoint. Per iteration: one join of the (symmetric)
+    edge list against the current labels + one groupBy min — both
+    shuffle on the same node-id key, so AQE coalesces them; there is
+    one driver-side action per iteration (the convergence check),
+    which is the standard price of iterative graph algorithms on
+    DataFrames (GraphX/GraphFrames does the same under the hood).
+    Iterations needed = graph diameter; dedup clusters are shallow
+    (near-clique blobs around a template), so this converges in 2-4
+    sweeps in practice — max_iter is a safety bound, and the operator
+    raises rather than silently returning a half-propagated labeling.
+
+    At 100 TB: the edge list is the (bounded) output of the LSH/
+    SimHash candidate generators, orders of magnitude smaller than
+    the corpus; nodes absent from any pair are singletons by
+    definition and never enter the loop (join them back as their own
+    component downstream if a total labeling is needed).
+    checkpoint-per-iteration (localCheckpoint) truncates the lineage
+    so the plan does not grow exponentially with iterations."""
+    e = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+         .unionByName(pairs.select(F.col(id2).alias("src"),
+                                   F.col(id1).alias("dst")))
+         .distinct())
+    labels = (e.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (e.join(labels, e["dst"] == labels["node"])
+                   .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        new = (labels.join(nbr_min, labels["node"] == nbr_min["src"],
+                           "left")
+               .select("node",
+                       F.least("comp", F.coalesce("nbr_comp", "comp"))
+                        .alias("comp")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} sweeps "
+        "(diameter > max_iter); raise max_iter")
+
+
+def dedup_keep_list(pairs: DataFrame, id1: str = "doc1",
+                    id2: str = "doc2") -> DataFrame:
+    """Canonical keep/drop decision per near-dup component: the
+    lexicographically-smallest doc id in each connected component is
+    kept, every other member is dropped (deterministic — reruns and
+    retries pick the same canonical docs). Returns (doc_id, comp,
+    keep). Docs in no pair are untouched by construction (they never
+    appear), so the drop set is exactly `where(~keep)`."""
+    comps = connected_components(pairs, id1, id2)
+    w_min = comps.groupBy("comp").agg(F.min("node").alias("canonical"))
+    return (comps.join(w_min, "comp")
+            .select(F.col("node").alias("doc_id"), "comp",
+                    (F.col("node") == F.col("canonical")).alias("keep")))

@@ -1,0 +1,93 @@
+"""connected_components / dedup_keep_list: transitive closure of the
+near-dup pair graph into canonical keep-groups, checked against a
+pure-NumPy union-find oracle."""
+
+import numpy as np
+import pytest
+
+from miaplpy_spark.functions.dedup import (connected_components,
+                                           dedup_keep_list,
+                                           minhash_lsh_pairs)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _uf_components(edges):
+    """Union-find oracle: {node: min-label component id}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in list(parent):
+        root = find(n)
+        out[n] = min(out.get(root, root), root)
+    # normalize to the minimum MEMBER of each component
+    comp_min = {}
+    for n in parent:
+        comp_min.setdefault(find(n), n)
+        comp_min[find(n)] = min(comp_min[find(n)], n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def test_chain_transitivity(spark):
+    """A~B, B~C (A~C never surfaced) must be ONE component — the whole
+    point of running components after pair generation."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "doc1 string, doc2 string")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = np.random.RandomState(7)
+    n = 300
+    edges = [(f"n{min(a, b):04d}", f"n{max(a, b):04d}")
+             for a, b in rng.randint(0, n, size=(250, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "doc1 string, doc2 string")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(pairs).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_long_path_converges(spark):
+    """A 40-node path is the adversarial diameter case for min-label
+    propagation (pointer-halving via the checkpointedly reused labels
+    still walks it); the safety bound must not trip."""
+    edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(40)]
+    pairs = spark.createDataFrame(edges, "doc1 string, doc2 string")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(pairs, max_iter=50).collect()}
+    assert set(got.values()) == {"p00"}
+
+
+def test_max_iter_raises_instead_of_partial(spark):
+    edges = [(f"q{i:02d}", f"q{i + 1:02d}") for i in range(20)]
+    pairs = spark.createDataFrame(edges, "doc1 string, doc2 string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_keep_list_on_real_minhash_pairs(spark):
+    """End-to-end: LSH pairs at sf0.001 -> one canonical keep per
+    component, keeps are the component minima, everything else drops."""
+    pairs = minhash_lsh_pairs(spark, SF_DIR)
+    keep = dedup_keep_list(pairs).collect()
+    assert len(keep) > 0
+    by_comp = {}
+    for r in keep:
+        by_comp.setdefault(r["comp"], []).append(r)
+    for comp, rows in by_comp.items():
+        kept = [r["doc_id"] for r in rows if r["keep"]]
+        assert kept == [min(r["doc_id"] for r in rows)]
+        assert comp == min(r["doc_id"] for r in rows)
