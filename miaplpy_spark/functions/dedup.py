@@ -222,10 +222,15 @@ def connected_components(pairs: DataFrame, id1: str = "doc1",
     e = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
          .unionByName(pairs.select(F.col(id2).alias("src"),
                                    F.col(id1).alias("dst")))
-         .distinct())
+         .distinct()
+         # materialize ONCE: every sweep joins e, and without this the
+         # whole upstream pair-generation pipeline (MinHash signatures,
+         # the banded self-join) would re-execute per sweep
+         .localCheckpoint(eager=True))
     labels = (e.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("comp", F.col("node")))
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr_min = (e.join(labels, e["dst"] == labels["node"])
                    .groupBy("src").agg(F.min("comp").alias("nbr_comp")))

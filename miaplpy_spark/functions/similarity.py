@@ -231,9 +231,16 @@ def fit_ivf_codebook(sf_dir: str, n_cells: int = 16, dim: int = 64,
                         filters=[("vec_id", "<", sample)])
     vid = np.asarray(tbl.column("vec_id").combine_chunks().to_numpy(
         zero_copy_only=False))
-    assert len(vid) <= sample, (
-        "non-unique vec_ids under the sample bound; fit would "
-        "materialize more than `sample` rows")
+    if len(vid) > sample:
+        raise ValueError(
+            "non-unique vec_ids under the sample bound; the fit would "
+            "materialize more than `sample` rows")
+    if len(vid) < n_cells:
+        raise ValueError(
+            f"only {len(vid)} vectors with vec_id < {sample}; the "
+            "pushed-down sample read requires DENSE 0-based vec_ids "
+            "(the input contract) — re-id the corpus or raise "
+            "`sample`")
     emb = tbl.column("embedding").combine_chunks()
     flat = emb.flatten().to_numpy(zero_copy_only=False)
     X = np.asarray(flat, dtype=np.float64).reshape(len(vid), dim)
@@ -258,27 +265,28 @@ def fit_ivf_codebook(sf_dir: str, n_cells: int = 16, dim: int = 64,
     return [[float(round(x, 6)) for x in c] for c in C]
 
 
-def codebook_fit_dir() -> str:
-    """Single resolution point for the IVF codebook's fit corpus: the
-    codebook is a MODEL (like ``plane_signs``), pinned to one fit
-    directory so the Spark query and the DuckDB oracle can NEVER fit
-    from different corpora and diverge on centroid literals (round-3
-    ADVICE: the query used its runtime sf_dir while the oracle used
-    the env var — a driver passing a non-default sf_dir without the
-    env var got a spurious gate failure). $SPARK_GRAFT_SF_DIR_T2
-    overrides for non-default deployments; benches that want the
-    codebook fit from the benched corpus export it too."""
+def codebook_fit_dir(sf_dir: str | None = None) -> str:
+    """Single resolution point for the IVF codebook's fit corpus
+    (round-3 ADVICE): $SPARK_GRAFT_SF_DIR_T2 when set, else the
+    caller's runtime directory, else the driver-gate default. The
+    Spark query passes its runtime sf_dir; the oracle passes nothing
+    and lands on the SAME directory the driver registers its DuckDB
+    views from (the env var or the sf0.01 default — the driver always
+    points query sf_dir and views at one directory), so the two fits
+    cannot diverge on centroid literals, while an external caller
+    querying a different corpus still gets a quantizer trained on THAT
+    corpus rather than a silently mismatched one."""
     import os
     return os.environ.get("SPARK_GRAFT_SF_DIR_T2",
-                          "/root/testdata/sf0.01")
+                          sf_dir or "/root/testdata/sf0.01")
 
 
 def ivf_train_centroids(spark, sf_dir, n_cells: int = 16,
                         dim: int = 64) -> list[list[float]]:
-    """Back-compat wrapper for the codebook fit (spark and sf_dir
-    unused — the fit is a driver-side sample model pinned to
-    codebook_fit_dir(), see fit_ivf_codebook)."""
-    return fit_ivf_codebook(codebook_fit_dir(), n_cells, dim)
+    """Back-compat wrapper for the codebook fit (spark unused — the
+    fit is a driver-side sample model over codebook_fit_dir(sf_dir),
+    see fit_ivf_codebook)."""
+    return fit_ivf_codebook(codebook_fit_dir(sf_dir), n_cells, dim)
 
 
 def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,

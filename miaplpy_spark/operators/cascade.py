@@ -85,16 +85,25 @@ def _run_tier(
         if n_done:
             inp = inp.join(F.broadcast(done),
                            inp["bucket"] == done["partition_key"], "left_anti")
+        done_set = {int(r["partition_key"]) for r in done.collect()}
     else:
         n_done = 0
+        done_set = set()
 
     acc = spark.sparkContext.accumulator({}, _BucketCountParam())
     out = rollup_fn(inp, cfg, counts_acc=acc)
     store.merge_partitions(out, tier, partition_col="bucket")
 
     # rows-processed metrics per bucket come from the accumulator the
-    # write job itself populated — no second scan of the committed tier
-    counts = sorted(acc.value.items())
+    # write job itself populated — no second scan of the committed
+    # tier. EVERY attempted bucket is checkpointed, including buckets
+    # the input left empty (rows=0): a permanently-empty bucket would
+    # otherwise never reach the full-skip short-circuit, and on
+    # Iceberg each rerun's empty overwritePartitions commit would
+    # rotate the content token and cascade-invalidate the inversion.
+    counts_map = dict(acc.value)
+    counts = [(b, counts_map.get(b, 0))
+              for b in range(cfg.n_buckets) if b not in done_set]
     ckpt.log_completion(spark, tier, lineage, counts)
     return {
         "tier": tier,
@@ -177,6 +186,11 @@ def run_inversion_step(
     # (Iceberg snapshot id / parquet file-listing hash), so it moves
     # with every committed write; it also replaces the old
     # max(hour_idx) fingerprint's extra Spark job with a metadata read.
+    # Retention-ONLY changes are the one safe exception — the aged
+    # history is already inside the checkpointed ts_series — and the
+    # lifecycle CLI re-validates them via
+    # restamp_inversion_checkpoints; any invalidation here without a
+    # restamp is conservative, never stale.
     token = store.content_token(spark, TIER_1H)
     lineage = lineage_hash(cfg, TIER_TS + ":" + method,
                            f"{input_id}@{token}")
@@ -198,20 +212,62 @@ def run_inversion_step(
             df_1h = df_1h.join(F.broadcast(done),
                                df_1h["bucket"] == done["partition_key"],
                                "left_anti")
+        done_set = {int(r["partition_key"]) for r in done.collect()}
     else:
         n_done = 0
+        done_set = set()
     inv = invert_network(df_1h, cfg, method=method).persist()
-    counts = sorted((int(r["bucket"]), int(r["n"])) for r in
+    rows_map = dict((int(r["bucket"]), int(r["n"])) for r in
                     inv.groupBy("bucket").agg(F.count("*").alias("n"))
                        .collect())
-    if counts:
+    if rows_map:
         store.merge_partitions(inv, TIER_TS, partition_col="bucket")
     inv.unpersist()
+    # checkpoint every attempted bucket, rows=0 for empty ones (see
+    # _run_tier) — and never commit an empty merge snapshot
+    counts = [(b, rows_map.get(b, 0))
+              for b in range(cfg.n_buckets) if b not in done_set]
     ckpt.log_completion(spark, TIER_TS, lineage, counts)
     return {"tier": TIER_TS, "lineage": lineage, "method": method,
             "buckets_skipped": n_done,
             "buckets_processed": len(counts),
-            "rows_written": int(sum(c for _, c in counts))}
+            "rows_written": int(sum(rows_map.values()))}
+
+
+def inversion_lineage(spark: SparkSession, store: TierStore,
+                      cfg: EngineConfig, method: str = "L2",
+                      input_id: str = "rollup_1h") -> str:
+    """The lineage run_inversion_step would use RIGHT NOW — a cheap
+    metadata read (content token + hash), used to snapshot the
+    pre-retention lineage for restamp_inversion_checkpoints."""
+    token = store.content_token(spark, TIER_1H)
+    return lineage_hash(cfg, TIER_TS + ":" + method,
+                        f"{input_id}@{token}")
+
+
+def restamp_inversion_checkpoints(spark: SparkSession, store: TierStore,
+                                  cfg: EngineConfig, old_lineage: str,
+                                  method: str = "L2",
+                                  input_id: str = "rollup_1h") -> int:
+    """Re-validate inversion completions after a RETENTION-ONLY
+    change to the 1h tier. Retention strictly REMOVES aged hot rows
+    whose inverted history the checkpointed ts_series already covers,
+    so the existing output stays correct — and strictly MORE complete
+    than a recompute from the post-retention hot window would be. The
+    caller (the lifecycle CLI's retention step) snapshots
+    ``old_lineage`` via inversion_lineage() BEFORE aging; only
+    buckets whose LATEST checkpoint row still carries that lineage are
+    re-logged under the post-retention lineage, so a tier change from
+    any other source can never be laundered through a restamp. Returns
+    the number of buckets restamped."""
+    new_lineage = inversion_lineage(spark, store, cfg, method, input_id)
+    if new_lineage == old_lineage:
+        return 0
+    ckpt = CheckpointLog(store)
+    counts = ckpt.latest_completions(spark, TIER_TS, old_lineage)
+    if counts:
+        ckpt.log_completion(spark, TIER_TS, new_lineage, counts)
+    return len(counts)
 
 
 WATERMARK_TABLE = "tier_watermarks"

@@ -53,6 +53,21 @@ class CheckpointLog:
         return (w_latest.where(F.col("last_lineage") == lineage)
                 .select("partition_key"))
 
+    def latest_completions(self, spark: SparkSession, tier: str,
+                           lineage: str) -> list[tuple[int, int]]:
+        """(partition_key, rows_processed) of buckets whose LATEST
+        checkpoint row carries ``lineage`` — the set a restamp may
+        safely re-validate under a new lineage."""
+        df = self._read(spark)
+        if df is None:
+            return []
+        w = (df.where(F.col("tier") == tier)
+             .groupBy("partition_key")
+             .agg(F.max_by("lineage", "updated_at").alias("lin"),
+                  F.max_by("rows_processed", "updated_at").alias("rows")))
+        return sorted((int(r["partition_key"]), int(r["rows"]))
+                      for r in w.where(F.col("lin") == lineage).collect())
+
     def log_completion(self, spark: SparkSession, tier: str, lineage: str,
                        bucket_counts: list[tuple[int, int]],
                        snapshot_id: int | None = None) -> None:

@@ -496,9 +496,18 @@ def attach_doc_dim(df_core: DataFrame, doc_dim: DataFrame,
     dimension surfaces with null doc_id/source instead of silently
     vanishing (an inner join would also desynchronize the checkpoint
     rows_written metric, which counts pre-join kernel output)."""
+    if ("doc_key2" in df_core.columns
+            and "doc_key2" not in doc_dim.columns):
+        # a narrow dim under a wide tier would quietly degrade the
+        # join to doc_key alone — the collision fan-out wide mode
+        # exists to prevent. Fail loudly (fused.py does the same for
+        # its unsupported combination); widen the dim with
+        # with_doc_keys(dim, cfg) instead.
+        raise ValueError("tier output is wide (doc_key2) but doc_dim "
+                         "is narrow; build the dimension with "
+                         "with_doc_keys so join keys match")
     keys = ["doc_key"] + (["doc_key2"]
-                          if "doc_key2" in df_core.columns
-                          and "doc_key2" in doc_dim.columns else [])
+                          if "doc_key2" in df_core.columns else [])
     dim = doc_dim.select(*keys, "doc_id", "source")
     if hint_broadcast:
         dim = F.broadcast(dim)

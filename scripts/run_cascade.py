@@ -50,6 +50,8 @@ from pyspark.sql import SparkSession
 from miaplpy_spark.config import SCALES, EngineConfig
 from miaplpy_spark.datagen import generate_sequences, prepare_observations
 from miaplpy_spark.operators.cascade import (
+    inversion_lineage,
+    restamp_inversion_checkpoints,
     run_cascade,
     run_cascade_incremental,
     run_inversion_step,
@@ -147,8 +149,21 @@ def main(argv=None) -> int:
                        .agg(F.max((F.col("hour_idx") / cfg.hours_per_day)
                                   .cast("int"))).collect()[0][0])
             boundary = int(max_day or 0)   # newest day stays hot
+        # snapshot the inversion lineage BEFORE aging: retention-only
+        # deletes keep the checkpointed full-history ts_series valid
+        # (it covers a superset of the post-retention hot window), so
+        # completions are re-stamped under the new content token and a
+        # zero-change lifecycle rerun stays a true no-op
+        pre_lin = inversion_lineage(spark, store, cfg,
+                                    method=args.invert_method,
+                                    input_id=input_id)
         metrics["retention"] = apply_retention_1h(spark, store, boundary, cfg)
         metrics["retention"]["day_boundary"] = boundary
+        if metrics["retention"]["n_blobs"]:
+            metrics["retention"]["inversion_restamped"] = \
+                restamp_inversion_checkpoints(
+                    spark, store, cfg, pre_lin,
+                    method=args.invert_method, input_id=input_id)
 
     metrics["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))

@@ -44,22 +44,18 @@ def test_full_lifecycle_then_noop_rerun(spark, workdir, capsys):
     assert m1["retention"]["n_blobs"] > 0          # days aged to cold
     assert m1["invert"]["rows_written"] > 0
 
+    # run 1's retention re-stamped the inversion completions under
+    # the post-aging content token (retention-only deletes leave the
+    # checkpointed FULL-HISTORY ts_series valid — it covers a superset
+    # of the post-retention hot window), so run 2 is a TRUE no-op
+    assert m1["retention"]["inversion_restamped"] > 0
+
     m2 = _run(capsys, args)
-    # cascade and retention no-op; invert RECOMPUTES once, because run
-    # 1's retention changed the hot tier's content token after invert
-    # checkpointed — ts_series tracks the current hot window by
-    # contract (content-identity lineage, round-3 ADVICE)
     assert m2["cascade"]["raw->1h"]["buckets_processed"] == 0
     assert m2["cascade"]["1h->1d"]["buckets_processed"] == 0
     assert m2["retention"]["n_blobs"] == 0
-    assert m2["invert"]["buckets_processed"] > 0
-
-    m3 = _run(capsys, args)
-    # nothing moved the token after run 2's invert: full no-op
-    assert m3["cascade"]["raw->1h"]["buckets_processed"] == 0
-    assert m3["retention"]["n_blobs"] == 0
-    assert m3["invert"]["buckets_processed"] == 0
-    assert m3["invert"]["buckets_skipped"] > 0
+    assert m2["invert"]["buckets_processed"] == 0
+    assert m2["invert"]["buckets_skipped"] > 0
 
     # tiered read still sees every hour exactly once after aging
     from miaplpy_spark.config import EngineConfig

@@ -19,10 +19,10 @@ def test_ivf_recall_beats_lsh(spark, truth, monkeypatch):
     """IVF (Voronoi cells over the label-clustered corpus) recovers
     most true neighbors probing 4 of 16 cells (a 25% scan fraction);
     random-hyperplane LSH on near-orthogonal vectors is the weaker
-    approximation. Both return a full top-k for every query. The
-    codebook fit is pinned to codebook_fit_dir() (default sf0.01);
-    fitting from the benched corpus is the documented env contract."""
-    monkeypatch.setenv("SPARK_GRAFT_SF_DIR_T2", SF_DIR)
+    approximation. Both return a full top-k for every query. With the
+    env override unset, codebook_fit_dir falls back to the runtime
+    sf_dir — the quantizer trains on the corpus it serves."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR_T2", raising=False)
     ivf = {(r.qid, r.nid) for r in sim.ivf_ann_topk(spark, SF_DIR).collect()}
     lsh = {(r.qid, r.nid) for r in sim.lsh_ann_topk(spark, SF_DIR).collect()}
     assert len(ivf) == len(truth) and len(lsh) == len(truth)
