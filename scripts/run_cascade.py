@@ -17,6 +17,12 @@ the per-hour linked_phase ensembles, which only the HOT tier retains
 (the cold tier keeps summary series), so inverting after aging would
 silently drop aged days from ts_series. The reference likewise runs
 ifgram_inversion on the full stack before any history compaction.
+Retention then RE-STAMPS the inversion completions under the
+post-aging content token (restamp_inversion_checkpoints): the
+checkpointed full-history ts_series covers a superset of the reduced
+hot window, so it stays valid and a zero-change lifecycle rerun is a
+true no-op; any other tier change still rotates the token and forces
+a recompute.
 
 Cluster launch (north_rule):
 
