@@ -1,0 +1,81 @@
+"""End-to-end corpus curation: the composition a pretraining data
+pipeline actually runs over the `documents` table, stitched from the
+individually driver-certified operators — quality scoring (q19),
+exact dedup (q21), MinHash-LSH near-dup pairs (q26) collapsed by
+connected components, and token accounting (q18) — into one
+DataFrame graph with a per-doc keep/drop decision and the REASON.
+
+Plan shape at 100 TB: every stage is one of the already-audited
+plans (one exchange each, no Python in the hot path except the
+bounded component loop over the pair graph, which is orders of
+magnitude smaller than the corpus); the final assembly is left joins
+of doc-keyed side outputs back onto the doc spine — each side is a
+per-doc aggregate (same cardinality), joined on the same doc_id key,
+so AQE plans them as a chain of shuffle joins on one key. Reasons
+are evaluated in priority order so a doc dropped for multiple causes
+reports the most fundamental one."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import dedup_keep_list, minhash_lsh_pairs
+from .text import _docs, text_quality
+
+
+def exact_dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose full-text md5 matches an earlier (smaller doc_id)
+    doc — the exact-dedup drop set: deterministic keep-first-by-id,
+    one groupBy on the fingerprint."""
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (fp.join(keep, "fp")
+            .where(F.col("doc_id") != F.col("keeper"))
+            .select("doc_id", F.col("keeper").alias("dup_of")))
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str,
+                  min_words: int = 5, max_stopword_ratio: float = 0.9,
+                  min_ttr: float = 0.2,
+                  near_dup_threshold: float = 0.35) -> DataFrame:
+    """Per-document curation decision (doc_id, lang, n_words, keep,
+    reason). Reasons, in priority order:
+
+      exact_dup   byte-identical (lowercased) text, non-canonical copy
+      near_dup    MinHash-LSH component member that is not the
+                  component's canonical (minimum-id) doc
+      too_short   fewer than ``min_words`` whitespace tokens
+      low_quality stopword ratio or type/token ratio outside bounds
+      kept        survives everything
+
+    Exact dedup outranks near-dup (a byte copy is also a near-dup;
+    report the stronger finding); both outrank the quality gates so
+    dedup statistics stay comparable across quality-threshold sweeps.
+    """
+    spine = _docs(spark, sf_dir).select("doc_id", "lang")
+    q = text_quality(spark, sf_dir)
+    exact = exact_dup_losers(spark, sf_dir).withColumn("is_exact", F.lit(True))
+    pairs = minhash_lsh_pairs(spark, sf_dir,
+                              verify_threshold=near_dup_threshold)
+    near = (dedup_keep_list(pairs).where(~F.col("keep"))
+            .select("doc_id", F.lit(True).alias("is_near")))
+
+    out = (spine
+           .join(q, "doc_id", "left")
+           .join(exact.select("doc_id", "is_exact"), "doc_id", "left")
+           .join(near, "doc_id", "left"))
+    reason = (
+        F.when(F.col("is_exact"), F.lit("exact_dup"))
+         .when(F.col("is_near"), F.lit("near_dup"))
+         .when(F.coalesce("n_words", F.lit(0)) < min_words,
+               F.lit("too_short"))
+         .when((F.col("stopword_ratio") > max_stopword_ratio)
+               | (F.col("ttr") < min_ttr), F.lit("low_quality"))
+         .otherwise(F.lit("kept")))
+    return out.select(
+        "doc_id", "lang",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"))

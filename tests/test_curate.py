@@ -1,0 +1,54 @@
+"""curate_corpus: the end-to-end keep/drop composition must agree
+with its independently-certified component operators."""
+
+import pyspark.sql.functions as F
+
+from miaplpy_spark.functions.curate import curate_corpus, exact_dup_losers
+from miaplpy_spark.functions.dedup import dedup_keep_list, minhash_lsh_pairs
+from miaplpy_spark.functions.text import text_quality
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_total_and_disjoint(spark):
+    """Exactly one decision per document; keep iff reason == kept."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = curate_corpus(spark, SF_DIR)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    assert out.where(F.col("keep") != (F.col("reason") == "kept")).count() == 0
+
+
+def test_reasons_match_component_operators(spark):
+    out = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(spark, SF_DIR).collect()}
+    exact = {r["doc_id"] for r in exact_dup_losers(spark, SF_DIR).collect()}
+    near = {r["doc_id"] for r in
+            dedup_keep_list(minhash_lsh_pairs(spark, SF_DIR))
+            .where(~F.col("keep")).collect()}
+    q = {r["doc_id"]: r for r in text_quality(spark, SF_DIR).collect()}
+    for doc, reason in out.items():
+        if doc in exact:
+            assert reason == "exact_dup", doc
+        elif doc in near:
+            assert reason == "near_dup", doc
+        elif q[doc]["n_words"] < 5:
+            assert reason == "too_short", doc
+        elif q[doc]["stopword_ratio"] > 0.9 or q[doc]["ttr"] < 0.2:
+            assert reason == "low_quality", doc
+        else:
+            assert reason == "kept", doc
+
+
+def test_priority_exact_over_near(spark):
+    """A doc that is BOTH an exact and a near dup reports exact_dup.
+    (Planted: if the corpus has no such doc, plant one by checking the
+    sets overlap at least structurally — exact dups of the same text
+    are also MinHash-identical, so any exact loser whose keeper also
+    has near-dup pairs exercises the branch.)"""
+    out = curate_corpus(spark, SF_DIR)
+    exact = exact_dup_losers(spark, SF_DIR)
+    both = out.join(exact.select("doc_id"), "doc_id")
+    # every exact loser must surface as exact_dup regardless of its
+    # near-dup status
+    assert both.where(F.col("reason") != "exact_dup").count() == 0

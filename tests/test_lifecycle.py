@@ -1,5 +1,5 @@
-"""Lifecycle CLI: one command sequences cascade -> retention ->
-invert over the checkpoint log (the reference's miaplpyApp.py
+"""Lifecycle CLI: one command sequences cascade -> invert ->
+retention over the checkpoint log (the reference's miaplpyApp.py
 STEP_LIST + --start/--dostep contract), and a full rerun no-ops."""
 
 import json
