@@ -412,7 +412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, threshold=0.35),
         "q25_label_centroids": similarity.label_centroids,
         "q38_lsh_neardup": similarity.lsh_near_dup_pairs,
-        "q42_ivf_ann": similarity.ivf_ann_topk,
+        # the GATE pins the codebook fit to codebook_fit_dir() (env or
+        # the sf0.01 default — the directory the oracle fits from and
+        # the driver registers views from) so the two sides can never
+        # diverge whatever sf_dir the driver passes; the library API
+        # (ivf_ann_topk without fit_dir) trains on its own corpus
+        "q42_ivf_ann": lambda s, d: similarity.ivf_ann_topk(
+            s, d, fit_dir=similarity.codebook_fit_dir()),
         # engine-native paths (fixture-oracled) + hash-family operators
         "q26_minhash_lsh": dedup.minhash_lsh_pairs,
         "q27_simhash_pairs": dedup.simhash_near_pairs,

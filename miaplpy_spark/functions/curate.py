@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import dedup_keep_list, minhash_lsh_pairs
-from .text import _docs, text_quality
+from .text import _docs, exact_fingerprint, text_quality
 
 
 def exact_dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,7 +29,7 @@ def exact_dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — the exact-dedup drop set: deterministic keep-first-by-id,
     one groupBy on the fingerprint."""
     d = _docs(spark, sf_dir)
-    fp = d.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+    fp = d.select("doc_id", exact_fingerprint().alias("fp"))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     return (fp.join(keep, "fp")
             .where(F.col("doc_id") != F.col("keeper"))

@@ -290,7 +290,8 @@ def ivf_train_centroids(spark, sf_dir, n_cells: int = 16,
 
 
 def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
-                 n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+                 n_cells: int = 16, n_probe: int = 4,
+                 fit_dir: str | None = None) -> DataFrame:
     """IVF approximate top-k — the quantizer-based scale path next to
     the LSH one (lsh_ann_topk): every vector is assigned to its
     nearest codebook centroid with a shuffle-free argmin expression
@@ -301,7 +302,7 @@ def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
     n_cells of the data."""
     from pyspark.sql import Window
 
-    cents = ivf_train_centroids(spark, sf_dir, n_cells)
+    cents = fit_ivf_codebook(fit_dir or codebook_fit_dir(sf_dir), n_cells)
     e = _emb(spark, sf_dir)
     dists = e.select(
         "vec_id", "embedding",

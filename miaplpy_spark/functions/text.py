@@ -124,11 +124,18 @@ def lang_id_heuristic(spark, sf_dir) -> DataFrame:
     )
 
 
+def exact_fingerprint(col="text") -> F.Column:
+    """THE exact-dedup normalization (md5 of lowercased text) — the
+    single definition shared by fingerprint_dups (q21-certified) and
+    curate.exact_dup_losers, so the two can never diverge."""
+    return F.md5(F.lower(F.col(col)))
+
+
 def fingerprint_dups(spark, sf_dir) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + exact-dup
     accounting per source — the exact-dedup operator."""
     d = _docs(spark, sf_dir)
-    fp = d.select("source", F.md5(F.lower(F.col("text"))).alias("fp"))
+    fp = d.select("source", exact_fingerprint().alias("fp"))
     return (fp.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.count_distinct("fp").alias("n_unique"),

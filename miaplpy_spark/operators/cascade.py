@@ -69,7 +69,9 @@ def _run_tier(
     lineage = lineage_hash(cfg, tier, input_id)
     if resume:
         done = ckpt.completed_keys(spark, tier, lineage)
-        n_done = done.count()
+        done_rows = done.collect()   # one job: count + set from one pass
+        done_set = {int(r["partition_key"]) for r in done_rows}
+        n_done = len(done_set)
         if n_done >= cfg.n_buckets:
             # every possible bucket (partition keys are pmod(hash,
             # n_buckets) by construction) is already checkpointed for
@@ -85,7 +87,6 @@ def _run_tier(
         if n_done:
             inp = inp.join(F.broadcast(done),
                            inp["bucket"] == done["partition_key"], "left_anti")
-        done_set = {int(r["partition_key"]) for r in done.collect()}
     else:
         n_done = 0
         done_set = set()
@@ -191,16 +192,16 @@ def run_inversion_step(
     # lifecycle CLI re-validates them via
     # restamp_inversion_checkpoints; any invalidation here without a
     # restamp is conservative, never stale.
-    token = store.content_token(spark, TIER_1H)
-    lineage = lineage_hash(cfg, TIER_TS + ":" + method,
-                           f"{input_id}@{token}")
+    lineage = inversion_lineage(spark, store, cfg, method, input_id)
     # under salt_by_day a doc's hourly rows span buckets, so a
     # per-bucket skip could feed partial docs to the solver — resume
     # only when buckets are doc-pure
     resume = resume and not cfg.salt_by_day
     if resume:
         done = ckpt.completed_keys(spark, TIER_TS, lineage)
-        n_done = done.count()
+        done_rows = done.collect()   # one job: count + set from one pass
+        done_set = {int(r["partition_key"]) for r in done_rows}
+        n_done = len(done_set)
         if n_done >= cfg.n_buckets:
             # same full-skip short-circuit as _run_tier: all buckets
             # checkpointed for this (lineage, content token) — do not
@@ -212,7 +213,6 @@ def run_inversion_step(
             df_1h = df_1h.join(F.broadcast(done),
                                df_1h["bucket"] == done["partition_key"],
                                "left_anti")
-        done_set = {int(r["partition_key"]) for r in done.collect()}
     else:
         n_done = 0
         done_set = set()

@@ -61,12 +61,16 @@ class CheckpointLog:
         df = self._read(spark)
         if df is None:
             return []
+        # ONE max_by over a struct: two independent max_by calls could
+        # pair lineage and rows_processed from DIFFERENT rows when
+        # updated_at ties (same-second appends)
         w = (df.where(F.col("tier") == tier)
              .groupBy("partition_key")
-             .agg(F.max_by("lineage", "updated_at").alias("lin"),
-                  F.max_by("rows_processed", "updated_at").alias("rows")))
-        return sorted((int(r["partition_key"]), int(r["rows"]))
-                      for r in w.where(F.col("lin") == lineage).collect())
+             .agg(F.max_by(F.struct("lineage", "rows_processed"),
+                           "updated_at").alias("last")))
+        return sorted((int(r["partition_key"]), int(r["last"]["rows_processed"]))
+                      for r in w.where(F.col("last")["lineage"] == lineage)
+                                .collect())
 
     def log_completion(self, spark: SparkSession, tier: str, lineage: str,
                        bucket_counts: list[tuple[int, int]],

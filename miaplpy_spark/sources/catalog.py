@@ -100,8 +100,9 @@ class TierStore:
         (MERGE of an existing partition, retention delete, append,
         in-place recompute of a boundary hour) — unlike a max-index
         watermark, which only sees max-advancing extensions (round-3
-        ADVICE). Iceberg: the current snapshot id, a metadata-only
-        read. Parquet fallback: hash of the sorted data-file listing
+        ADVICE). Iceberg: the current snapshot's data totals, a
+        metadata-only read (NOT the snapshot id — see below). Parquet
+        fallback: hash of the sorted data-file listing
         (relpath, size, mtime_ns) — every committed write creates or
         rewrites files, so any content change moves the token; the
         listing costs the same O(files) metadata pass that planning a
@@ -110,10 +111,23 @@ class TierStore:
         if not self.exists(spark, table):
             return "absent"
         if self.use_iceberg:
+            # hash the current snapshot's data TOTALS rather than its
+            # id: an empty overwritePartitions commit (zero-row merge
+            # on a fully-culled rerun) creates a new snapshot but
+            # changes no data, and must NOT rotate the token — while
+            # any real change moves record counts or compressed file
+            # bytes. Residual collision risk (a rewrite preserving
+            # total records, file count AND byte size exactly) is
+            # documented and vanishingly unlikely for real data.
             rows = spark.sql(
-                f"SELECT snapshot_id FROM {self.namespace}.{table}.snapshots"
+                f"SELECT summary FROM {self.namespace}.{table}.snapshots"
                 " ORDER BY committed_at DESC LIMIT 1").collect()
-            return str(rows[0][0]) if rows else "empty"
+            if not rows:
+                return "empty"
+            sm = rows[0][0] or {}
+            return "|".join(str(sm.get(k, "")) for k in
+                            ("total-records", "total-data-files",
+                             "total-files-size"))
         import hashlib
         base = self.path(table)
         h = hashlib.sha256()

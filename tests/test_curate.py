@@ -40,15 +40,30 @@ def test_reasons_match_component_operators(spark):
             assert reason == "kept", doc
 
 
-def test_priority_exact_over_near(spark):
+def test_priority_exact_over_near(spark, tmp_path):
     """A doc that is BOTH an exact and a near dup reports exact_dup.
-    (Planted: if the corpus has no such doc, plant one by checking the
-    sets overlap at least structurally — exact dups of the same text
-    are also MinHash-identical, so any exact loser whose keeper also
-    has near-dup pairs exercises the branch.)"""
-    out = curate_corpus(spark, SF_DIR)
-    exact = exact_dup_losers(spark, SF_DIR)
-    both = out.join(exact.select("doc_id"), "doc_id")
-    # every exact loser must surface as exact_dup regardless of its
-    # near-dup status
-    assert both.where(F.col("reason") != "exact_dup").count() == 0
+    sf0.001 ships zero exact dups, so PLANT one: copy the corpus into
+    a temp dir and append a byte-identical copy of an existing doc
+    under a larger doc_id — identical text means identical MinHash
+    signatures, so the plant lands in the exact AND near sets."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plant_src = docs.orderBy("doc_id").limit(1)
+    plant = plant_src.withColumn(
+        "doc_id",
+        F.lit(10 ** 9) + F.col("doc_id"))
+    corpus_dir = str(tmp_path / "corpus")
+    docs.unionByName(plant).coalesce(1).write.parquet(
+        f"{corpus_dir}/documents.parquet")
+
+    exact = {r["doc_id"]
+             for r in exact_dup_losers(spark, corpus_dir).collect()}
+    near = {r["doc_id"] for r in
+            dedup_keep_list(minhash_lsh_pairs(spark, corpus_dir))
+            .where(~F.col("keep")).collect()}
+    overlap = exact & near
+    assert overlap, "planted dup missing from exact+near overlap"
+    decided = {r["doc_id"]: r["reason"]
+               for r in curate_corpus(spark, corpus_dir).collect()}
+    # the overlap docs exercise the when-chain ordering: exact wins
+    assert all(decided[d] == "exact_dup" for d in overlap)
+    assert all(decided[d] == "exact_dup" for d in exact)
