@@ -267,18 +267,19 @@ def fit_ivf_codebook(sf_dir: str, n_cells: int = 16, dim: int = 64,
 
 def codebook_fit_dir(sf_dir: str | None = None) -> str:
     """Single resolution point for the IVF codebook's fit corpus
-    (round-3 ADVICE): $SPARK_GRAFT_SF_DIR_T2 when set, else the
-    caller's runtime directory, else the driver-gate default. The
-    Spark query passes its runtime sf_dir; the oracle passes nothing
-    and lands on the SAME directory the driver registers its DuckDB
-    views from (the env var or the sf0.01 default — the driver always
-    points query sf_dir and views at one directory), so the two fits
-    cannot diverge on centroid literals, while an external caller
-    querying a different corpus still gets a quantizer trained on THAT
-    corpus rather than a silently mismatched one."""
+    (round-3 ADVICE): the caller's EXPLICIT directory wins, then
+    $SPARK_GRAFT_SF_DIR_T2, then the driver-gate default (round-4
+    ADVICE: env-over-argument made ``ivf_train_centroids(spark,
+    my_dir)`` silently fit on a different corpus than the one it
+    assigns whenever the env var was exported). The gate/oracle call
+    sites pass NO directory, so they both land on the env var or the
+    sf0.01 default — the directory the driver registers its DuckDB
+    views from — and the two fits cannot diverge on centroid
+    literals; an external caller querying its own corpus gets a
+    quantizer trained on THAT corpus."""
     import os
-    return os.environ.get("SPARK_GRAFT_SF_DIR_T2",
-                          sf_dir or "/root/testdata/sf0.01")
+    return sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR_T2",
+                                    "/root/testdata/sf0.01")
 
 
 def ivf_train_centroids(spark, sf_dir, n_cells: int = 16,

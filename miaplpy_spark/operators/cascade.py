@@ -151,6 +151,20 @@ def run_cascade(
     m1 = _run_tier(spark, TIER_1H, raw_obs, fn_1h, store, ckpt, cfg,
                    input_id, resume)
     df_1h = store.read(spark, TIER_1H)
+    # lineage contract (round-4 ADVICE, resolved by SCOPING): both
+    # tier lineages key on the caller's input_id, NOT the store's
+    # content token. Within run_cascade the 1h content is a pure
+    # function of (input_id, cfg) — a partial 1h rebuild after lost
+    # checkpoints reproduces identical bucket content, and 1h/1d
+    # buckets are aligned (same bucket = hash(doc) % n), so per-bucket
+    # 1d completions stay exactly valid and a bucket-scoped 1h repair
+    # does not force a full-tier 1d rebuild. The content-token lineage
+    # belongs to steps whose input is the STORE TABLE itself and can
+    # change out-of-band (run_inversion_step); a content token here
+    # would also rotate on every retention aging pass, defeating the
+    # restamp contract. Out-of-band edits to the 1h tier are outside
+    # run_cascade's input_id contract by design — route them through a
+    # new input_id or the incremental path.
     m2 = _run_tier(spark, TIER_1D, df_1h, fn_1d, store, ckpt, cfg,
                    input_id + ">" + m1["lineage"], resume)
     return {"raw->1h": m1, "1h->1d": m2}

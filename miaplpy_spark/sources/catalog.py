@@ -111,17 +111,25 @@ class TierStore:
         if not self.exists(spark, table):
             return "absent"
         if self.use_iceberg:
-            # hash the current snapshot's data TOTALS rather than its
+            # hash the CURRENT snapshot's data TOTALS rather than its
             # id: an empty overwritePartitions commit (zero-row merge
             # on a fully-culled rerun) creates a new snapshot but
             # changes no data, and must NOT rotate the token — while
             # any real change moves record counts or compressed file
-            # bytes. Residual collision risk (a rewrite preserving
+            # bytes. "Current" is resolved through the main branch ref,
+            # NOT max(committed_at) (round-4 ADVICE): after a rollback
+            # / time-travel restore the latest-committed snapshot is
+            # the rolled-back one, so a committed_at read would keep
+            # validating checkpoints against state the table no longer
+            # exposes and the rollback would go undetected until the
+            # next write. Residual collision risk (a rewrite preserving
             # total records, file count AND byte size exactly) is
             # documented and vanishingly unlikely for real data.
             rows = spark.sql(
-                f"SELECT summary FROM {self.namespace}.{table}.snapshots"
-                " ORDER BY committed_at DESC LIMIT 1").collect()
+                f"SELECT s.summary FROM {self.namespace}.{table}.snapshots s"
+                f" JOIN {self.namespace}.{table}.refs r"
+                " ON s.snapshot_id = r.snapshot_id"
+                " WHERE r.name = 'main'").collect()
             if not rows:
                 return "empty"
             sm = rows[0][0] or {}

@@ -38,13 +38,57 @@ def test_readme_query_count_matches_registration():
     assert int(m.group(1)) == len(entrymod.queries())
 
 
+def test_readme_bench_claims_track_artifacts():
+    """Round-4 VERDICT item 8: README cites specific inversion
+    throughputs that silently went stale as reruns improved (claimed
+    2.44x while BENCH_r04 measured 2.9x). Pin the README numbers to
+    the BEST measured artifact within 10% below / 5% above, and the
+    'Nx reference' multiples to the claimed absolute numbers."""
+    text = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"\*\*(\d+\.\d+)M doc·pair/s \(L2\)\*\* / "
+                  r"(\d+\.\d+)M \(WLS\) — (\d+\.\d+)x / (\d+\.\d+)x",
+                  text)
+    assert m, "README no longer states the inversion throughput claim"
+    l2_claim, wls_claim = float(m.group(1)) * 1e6, float(m.group(2)) * 1e6
+    l2_mult, wls_mult = float(m.group(3)), float(m.group(4))
+
+    best = {"l2": 0.0, "wls": 0.0}
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        try:
+            parsed = json.load(open(p)).get("parsed") or {}
+        except (json.JSONDecodeError, AttributeError):
+            continue
+        if (parsed.get("invert") or {}).get("px_ifg_per_s"):
+            best["l2"] = max(best["l2"], parsed["invert"]["px_ifg_per_s"])
+        if (parsed.get("invert_wls") or {}).get("px_ifg_per_s"):
+            best["wls"] = max(best["wls"],
+                              parsed["invert_wls"]["px_ifg_per_s"])
+    if not best["l2"]:
+        return  # no bench artifact with an inversion datapoint yet
+    for claim, key in ((l2_claim, "l2"), (wls_claim, "wls")):
+        assert 0.90 * best[key] <= claim <= 1.05 * best[key], (
+            f"README {key} claim {claim:.3g} vs best artifact "
+            f"{best[key]:.3g}; regenerate the README numbers")
+    ref = 626_000  # the reference's published px·ifg/s (BASELINE.md)
+    assert abs(l2_mult - l2_claim / ref) < 0.11
+    assert abs(wls_mult - wls_claim / ref) < 0.11
+
+
 def test_latest_driver_artifact_covers_all_queries():
     """Once a CORRECTNESS_r*.json exists that was produced AFTER the
     registration shrank to the cap, it must contain every registered
     query. Older artifacts (with a superset or the pre-merge names)
     are tolerated — the guard is that no REGISTERED query past the
     artifact's coverage goes unnoticed when counts already agree."""
-    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    # sort by the NUMERIC round (round-4 ADVICE: lexicographic sort
+    # puts CORRECTNESS_r9.json after r10 and would validate against a
+    # stale artifact once rounds pass one digit)
+    def _round_no(p):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+                  key=_round_no)
     if not arts:
         return
     rows = json.load(open(arts[-1]))

@@ -33,6 +33,19 @@ def test_ivf_recall_beats_lsh(spark, truth, monkeypatch):
     assert r_ivf > r_lsh
 
 
+def test_codebook_fit_dir_explicit_wins(monkeypatch):
+    """Round-4 ADVICE: an explicit caller directory must beat the env
+    override — ivf_train_centroids(spark, my_dir) with the var exported
+    previously fit the quantizer on a DIFFERENT corpus than the one it
+    assigns. Env applies only when the caller passes nothing (the
+    gate/oracle call sites)."""
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR_T2", "/env/dir")
+    assert sim.codebook_fit_dir("/my/dir") == "/my/dir"
+    assert sim.codebook_fit_dir() == "/env/dir"
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR_T2")
+    assert sim.codebook_fit_dir() == "/root/testdata/sf0.01"
+
+
 def test_ivf_codebook_shape(spark):
     cents = sim.ivf_train_centroids(spark, SF_DIR, n_cells=4)
     assert len(cents) == 4 and all(len(c) == 64 for c in cents)
