@@ -23,7 +23,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import ArrayType
 
-from miaplpy_spark.functions import dedup, multimodal, relational, similarity, text
+from miaplpy_spark.functions import (curate, dedup, multimodal, relational,
+                                     similarity, text)
 
 
 def _canon_safe(df: DataFrame) -> DataFrame:
@@ -374,7 +375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retention / window / timeseries operators (SURVEY.md §2.5-2.6)
         "q01_tier_rollup_1h": relational.tier_rollup_1h,
         "q02_tier_rollup_1d": relational.tier_rollup_1d,
-        "q03_gap_count": relational.gap_count,
+        # q03_gap_count was retired from the 50-slot registration in
+        # round 5: its semantics (present hours vs span) are a strict
+        # subset of q33_gapfill_interp's oracle, whose grid/was_missing
+        # columns certify the same gap detection — the freed slot
+        # driver-certifies the end-to-end curation composition (q52).
+        # relational.gap_count itself remains a library operator.
         "q04_cumsum_daily": relational.cumsum_daily,
         "q05_asof_next_event": relational.asof_next_event,
         "q12_sliding_mean": relational.sliding_mean,
@@ -437,6 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_codec_roundtrip": _codec_roundtrip,
         "q32_network_inversion": _network_inversion,
         "q36_weighted_inversion": _robust_inversion,
+        # the end-to-end pretraining-curation decision (quality gate +
+        # exact dedup + MinHash-LSH near-dup components + priority
+        # reasons), driver-certified as ONE composition
+        "q52_curate_corpus": curate.curate_corpus,
     }
 
 
@@ -626,6 +636,66 @@ def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 16,
     """
 
 
+def _q52_sql(min_words: int = 5, max_stop: float = 0.9,
+             min_ttr: float = 0.2, threshold: float = 0.35) -> str:
+    """DuckDB twin of curate.curate_corpus: the q19 quality scalars,
+    the q21 exact-fingerprint keep-first-by-id, the q26 MinHash-LSH
+    pairs collapsed to connected components by a recursive CTE
+    (min-label closure over the symmetric edge list — the same
+    fixpoint dedup.connected_components iterates), and the identical
+    priority CASE. Reuses _q26_sql verbatim for the pair leg so the
+    two certifications can never diverge."""
+    case = f"""CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN COALESCE(q.n_words, 0) < {min_words}
+                         THEN 'too_short'
+                    WHEN q.stopword_ratio > {max_stop}
+                         OR q.ttr < {min_ttr} THEN 'low_quality'
+                    ELSE 'kept' END"""
+    return f"""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        qa AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_words,
+                      CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+                      CAST(sum(CASE WHEN w IN ('a','the','of','and',
+                                               'to','in')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+               FROM w GROUP BY 1),
+        q AS (SELECT doc_id, n_words,
+                     round(n_distinct * 1.0 / n_words, 6) AS ttr,
+                     round(n_stop * 1.0 / n_words, 6) AS stopword_ratio
+              FROM qa),
+        ex AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                          min(doc_id) OVER (PARTITION BY md5(lower(text)))
+                              AS keeper
+                   FROM documents)
+               WHERE doc_id <> keeper),
+        pairs AS (SELECT doc1, doc2 FROM ({_q26_sql(threshold=threshold)})),
+        edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                  UNION SELECT doc2, doc1 FROM pairs),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY 1),
+        nl AS (SELECT node AS doc_id FROM comp WHERE node <> c),
+        dec AS (SELECT d.doc_id, d.lang,
+                       COALESCE(q.n_words, 0) AS n_words,
+                       {case} AS reason
+                FROM documents d
+                LEFT JOIN q ON d.doc_id = q.doc_id
+                LEFT JOIN ex ON d.doc_id = ex.doc_id
+                LEFT JOIN nl ON d.doc_id = nl.doc_id)
+        SELECT doc_id, lang, n_words, reason,
+               reason = 'kept' AS keep
+        FROM dec
+    """
+
+
 def _q29_sql(n_features: int = 16) -> str:
     """DuckDB twin of the multimodal feature path: the stub decoder is
     sha256(payload) bytes -> repeated-digest uint32 (little-endian) ->
@@ -773,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 HAVING count(*) >= 2
         """,
         "q42_ivf_ann": _q42_sql(),
+        "q52_curate_corpus": _q52_sql(),
         "q29_multimodal_features": _q29_sql(),
         "q39_codec_roundtrip": """
             SELECT event_type,
@@ -805,16 +876,6 @@ def oracle_sql() -> dict[str, str]:
                    round(round(sum(s), 4) / sum(n), 6) AS avg_value,
                    count(*) AS n_hours
             FROM h GROUP BY 1, 2
-        """,
-        "q03_gap_count": """
-            SELECT event_type,
-                   count(DISTINCT h) AS hours_present,
-                   CAST(max(h) - min(h) + 1 AS BIGINT) AS hours_span,
-                   CAST(max(h) - min(h) + 1 - count(DISTINCT h) AS BIGINT)
-                       AS hours_missing
-            FROM (SELECT event_type,
-                         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
-                  FROM events) GROUP BY 1
         """,
         "q04_cumsum_daily": """
             WITH d AS (

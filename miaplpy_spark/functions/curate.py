@@ -10,8 +10,12 @@ plans (one exchange each, no Python in the hot path except the
 bounded component loop over the pair graph, which is orders of
 magnitude smaller than the corpus); the final assembly is left joins
 of doc-keyed side outputs back onto the doc spine — each side is a
-per-doc aggregate (same cardinality), joined on the same doc_id key,
-so AQE plans them as a chain of shuffle joins on one key. Reasons
+per-doc aggregate (same cardinality). The assembly joins shuffle on
+``doc_key = xxhash64(doc_id)`` (plus ``doc_key2`` under
+``EngineConfig.wide_doc_key`` — the engine's collision doctrine,
+operators/rollup.py:23-29) rather than the variable-length doc_id
+string: fixed 8/16-byte shuffle keys through three doc-cardinality
+exchanges, the same reason the tier kernels are string-free. Reasons
 are evaluated in priority order so a doc dropped for multiple causes
 reports the most fundamental one."""
 
@@ -20,8 +24,26 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..config import DOC_KEY2_SALT, EngineConfig
 from .dedup import dedup_keep_list, minhash_lsh_pairs
 from .text import _docs, exact_fingerprint, text_quality
+
+
+def _key_cols(cfg: EngineConfig) -> list[str]:
+    return ["doc_key"] + (["doc_key2"]
+                          if getattr(cfg, "wide_doc_key", False) else [])
+
+
+def _with_keys(df: DataFrame, cfg: EngineConfig,
+               id_col: str = "doc_id") -> DataFrame:
+    """Attach the hashed join key(s) and DROP the string id — side
+    outputs join back onto the spine by key alone, so doc_id never
+    rides through the assembly shuffles."""
+    out = df.withColumn("doc_key", F.xxhash64(id_col))
+    if getattr(cfg, "wide_doc_key", False):
+        out = out.withColumn(
+            "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col(id_col)))
+    return out.drop(id_col)
 
 
 def exact_dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +61,8 @@ def exact_dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curate_corpus(spark: SparkSession, sf_dir: str,
                   min_words: int = 5, max_stopword_ratio: float = 0.9,
                   min_ttr: float = 0.2,
-                  near_dup_threshold: float = 0.35) -> DataFrame:
+                  near_dup_threshold: float = 0.35,
+                  cfg: EngineConfig = EngineConfig()) -> DataFrame:
     """Per-document curation decision (doc_id, lang, n_words, keep,
     reason). Reasons, in priority order:
 
@@ -53,22 +76,39 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
     Exact dedup outranks near-dup (a byte copy is also a near-dup;
     report the stronger finding); both outrank the quality gates so
     dedup statistics stay comparable across quality-threshold sweeps.
-    """
+
+    The near-dup leg uses the SPINE-TOTAL keep list
+    (dedup_keep_list(doc_spine=...)): every doc gets exactly one
+    labeled row (singletons keep=true), so the assembly is a plain
+    per-doc column rather than a loser-set semi-join."""
+    # the spine KEEPS doc_id (the output needs it); the key columns
+    # ride alongside and are what the assembly joins shuffle on
     spine = _docs(spark, sf_dir).select("doc_id", "lang")
-    q = text_quality(spark, sf_dir)
-    exact = exact_dup_losers(spark, sf_dir).withColumn("is_exact", F.lit(True))
+    spine = spine.withColumn("doc_key", F.xxhash64("doc_id"))
+    if getattr(cfg, "wide_doc_key", False):
+        spine = spine.withColumn(
+            "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id")))
+    keys = _key_cols(cfg)
+
+    q = _with_keys(text_quality(spark, sf_dir), cfg)
+    exact = _with_keys(
+        exact_dup_losers(spark, sf_dir)
+        .withColumn("is_exact", F.lit(True))
+        .select("doc_id", "is_exact"), cfg)
     pairs = minhash_lsh_pairs(spark, sf_dir,
                               verify_threshold=near_dup_threshold)
-    near = (dedup_keep_list(pairs).where(~F.col("keep"))
-            .select("doc_id", F.lit(True).alias("is_near")))
+    near = _with_keys(
+        dedup_keep_list(pairs,
+                        doc_spine=_docs(spark, sf_dir).select("doc_id"))
+        .select("doc_id", F.col("keep").alias("near_keep")), cfg)
 
     out = (spine
-           .join(q, "doc_id", "left")
-           .join(exact.select("doc_id", "is_exact"), "doc_id", "left")
-           .join(near, "doc_id", "left"))
+           .join(q, keys, "left")
+           .join(exact, keys, "left")
+           .join(near, keys, "left"))
     reason = (
         F.when(F.col("is_exact"), F.lit("exact_dup"))
-         .when(F.col("is_near"), F.lit("near_dup"))
+         .when(~F.col("near_keep"), F.lit("near_dup"))
          .when(F.coalesce("n_words", F.lit(0)) < min_words,
                F.lit("too_short"))
          .when((F.col("stopword_ratio") > max_stopword_ratio)

@@ -252,15 +252,33 @@ def connected_components(pairs: DataFrame, id1: str = "doc1",
 
 
 def dedup_keep_list(pairs: DataFrame, id1: str = "doc1",
-                    id2: str = "doc2") -> DataFrame:
+                    id2: str = "doc2",
+                    doc_spine: DataFrame | None = None,
+                    spine_col: str = "doc_id") -> DataFrame:
     """Canonical keep/drop decision per near-dup component: the
     lexicographically-smallest doc id in each connected component is
     kept, every other member is dropped (deterministic — reruns and
     retries pick the same canonical docs). Returns (doc_id, comp,
-    keep). Docs in no pair are untouched by construction (they never
-    appear), so the drop set is exactly `where(~keep)`."""
+    keep).
+
+    Without ``doc_spine``, docs in no pair are untouched by
+    construction (they never appear), so the drop set is exactly
+    `where(~keep)`. With ``doc_spine`` (any DataFrame carrying
+    ``spine_col``) the labeling is TOTAL: docs absent from every pair
+    come back as their own singleton component with keep=true — one
+    left-anti join of the spine against the (tiny) paired-node set,
+    so downstream consumers get exactly one row per doc without
+    re-deriving the complement themselves."""
     comps = connected_components(pairs, id1, id2)
     w_min = comps.groupBy("comp").agg(F.min("node").alias("canonical"))
-    return (comps.join(w_min, "comp")
-            .select(F.col("node").alias("doc_id"), "comp",
-                    (F.col("node") == F.col("canonical")).alias("keep")))
+    labeled = (comps.join(w_min, "comp")
+               .select(F.col("node").alias("doc_id"), "comp",
+                       (F.col("node") == F.col("canonical")).alias("keep")))
+    if doc_spine is None:
+        return labeled
+    singles = (doc_spine.select(F.col(spine_col).alias("doc_id"))
+               .join(F.broadcast(labeled.select("doc_id")),
+                     "doc_id", "left_anti")
+               .select("doc_id", F.col("doc_id").alias("comp"),
+                       F.lit(True).alias("keep")))
+    return labeled.unionByName(singles)

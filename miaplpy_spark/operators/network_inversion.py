@@ -34,8 +34,13 @@ from .rollup import _concat, _extract, _group_starts, _pa_schema, _slice_tail, _
 
 INVERSION_SCHEMA = (
     "doc_id string, source string, bucket int, n_hours int, "
-    "ts_series array<float>, inv_quality float"
+    "hours array<int>, ts_series array<float>, inv_quality float"
 )
+# ``hours`` carries the hour_idx each ts_series entry refers to — the
+# output is self-describing (a reader never re-derives coverage from
+# the 1h tier, which may have aged since) and it is what lets
+# cascade.merge_timeseries_history splice a hot-window re-solve onto
+# checkpointed history exactly (union on hours + datum connect).
 
 
 def sequential_pairs_idx(n: int, conn: int = 3) -> list[tuple[int, int]]:

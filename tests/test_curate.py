@@ -40,6 +40,40 @@ def test_reasons_match_component_operators(spark):
             assert reason == "kept", doc
 
 
+def test_keep_list_spine_total(spark):
+    """dedup_keep_list(doc_spine=...) is a TOTAL labeling: one row per
+    doc, singletons labeled as their own component with keep=true, and
+    the paired docs' labels identical to the spine-less call."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_pairs(spark, SF_DIR)
+    partial = {r["doc_id"]: (r["comp"], r["keep"])
+               for r in dedup_keep_list(pairs).collect()}
+    total = {r["doc_id"]: (r["comp"], r["keep"])
+             for r in dedup_keep_list(pairs, doc_spine=docs).collect()}
+    n_docs = docs.count()
+    assert len(total) == n_docs
+    for doc, lbl in partial.items():
+        assert total[doc] == lbl
+    singles = {d: v for d, v in total.items() if d not in partial}
+    assert singles, "fixture corpus should have unpaired docs"
+    assert all(v == (d, True) for d, v in singles.items())
+
+
+def test_assembly_shuffles_on_doc_key(spark):
+    """100 TB spine discipline (round-4 VERDICT item 4): the curation
+    assembly's doc-cardinality joins key on xxhash64 doc_key — a
+    fixed-width long — never on the variable-length doc_id string. A
+    doc_id-keyed join may appear only as a broadcast (the bounded
+    singleton anti-join), never as a shuffle join."""
+    from miaplpy_spark.plans.explain import plan_string
+
+    plan = plan_string(curate_corpus(spark, SF_DIR), "simple")
+    assert "SortMergeJoin [doc_id" not in plan
+    assert "ShuffledHashJoin [doc_id" not in plan
+    joins_on_key = plan.count("Join [doc_key")  # SortMerge or Broadcast
+    assert joins_on_key >= 3, plan[:2000]
+
+
 def test_priority_exact_over_near(spark, tmp_path):
     """A doc that is BOTH an exact and a near dup reports exact_dup.
     sf0.001 ships zero exact dups, so PLANT one: copy the corpus into
