@@ -173,6 +173,78 @@ def run_cascade(
 TIER_TS = "timeseries"
 
 
+def merge_timeseries_history(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Splice a hot-window inversion re-solve onto checkpointed
+    full-history series (round-4 ADVICE, medium): in the steady-state
+    lifecycle (retention ages days away, then new data arrives and
+    rotates the content token) ``run_inversion_step`` re-solves each
+    bucket from the post-retention HOT 1h tier only; a plain partition
+    overwrite would replace full-history ts_series with hot-window
+    series, silently dropping the aged days the invert-before-
+    retention ordering was designed to keep.
+
+    Per doc (full outer join on doc_id — doc-cardinality inputs):
+    - only old: the doc has no hot rows anymore; its history row is
+      carried through unchanged (the overwrite would otherwise drop it);
+    - only new: no history; the re-solve lands as-is;
+    - both: datum-connected splice (A11 semantics, datum_connect,
+      /root/reference/src/miaplpy/lib/utils.pyx:732-796): the new
+      series is offset by (old - new) at the FIRST COMMON hour, so the
+      merged series keeps the ORIGINAL datum and is continuous at the
+      anchor; entries = old entries strictly below the hot window's
+      first hour ++ shifted new entries. No common hour (disjoint
+      coverage — the tier was gutted, not aged) -> the re-solve wins
+      and history for that doc is dropped, since no datum alignment
+      exists; this is the documented conservative fallback.
+
+    All array work is built-in expressions (zip/filter/transform/
+    concat) — no Python in the plan; the one shuffle is the doc_id
+    join of two doc-cardinality tables."""
+    o = old.select(
+        "doc_id",
+        F.col("source").alias("o_source"),
+        F.col("bucket").alias("o_bucket"),
+        F.col("hours").alias("o_hours"),
+        F.col("ts_series").alias("o_ts"),
+        F.col("inv_quality").alias("o_q"))
+    n = new.select(
+        "doc_id",
+        F.col("source").alias("n_source"),
+        F.col("bucket").alias("n_bucket"),
+        F.col("hours").alias("n_hours_arr"),
+        F.col("ts_series").alias("n_ts"),
+        F.col("inv_quality").alias("n_q"))
+    j = o.join(n, "doc_id", "full_outer")
+    anchor = F.array_min(F.array_intersect("n_hours_arr", "o_hours"))
+    off = (F.element_at(
+               "o_ts", F.array_position("o_hours", anchor).cast("int"))
+           - F.element_at(
+               "n_ts", F.array_position("n_hours_arr", anchor).cast("int")))
+    min_new = F.array_min("n_hours_arr")
+    head = F.filter(F.arrays_zip("o_hours", "o_ts"),
+                    lambda x: x["o_hours"] < min_new)
+    spliced_h = F.concat(F.transform(head, lambda x: x["o_hours"]),
+                         F.col("n_hours_arr"))
+    spliced_t = F.concat(
+        F.transform(head, lambda x: x["o_ts"]),
+        F.transform("n_ts", lambda v: (v + off).cast("float")))
+    no_old = F.col("o_ts").isNull() | anchor.isNull()
+    hours = (F.when(F.col("n_ts").isNull(), F.col("o_hours"))
+              .when(no_old, F.col("n_hours_arr"))
+              .otherwise(spliced_h))
+    ts = (F.when(F.col("n_ts").isNull(), F.col("o_ts"))
+           .when(no_old, F.col("n_ts"))
+           .otherwise(spliced_t))
+    return j.select(
+        "doc_id",
+        F.coalesce("n_source", "o_source").alias("source"),
+        F.coalesce("n_bucket", "o_bucket").alias("bucket"),
+        F.size(hours).cast("int").alias("n_hours"),
+        hours.alias("hours"),
+        ts.alias("ts_series"),
+        F.coalesce("n_q", "o_q").alias("inv_quality"))
+
+
 def run_inversion_step(
     spark: SparkSession,
     store: TierStore,
@@ -180,13 +252,22 @@ def run_inversion_step(
     method: str = "L2",
     input_id: str = "rollup_1h",
     resume: bool = True,
+    preserve_history: bool = True,
 ) -> dict:
     """Network-inversion lifecycle step: hot 1h tier -> per-doc
     timeseries table, checkpointed per bucket exactly like the tier
     jobs (flag-written-last; a rerun with all buckets completed
     no-ops). The reference runs this as its own pipeline step
     (miaplpyApp.py STEP_LIST 'ifgram_inversion' -> network_inversion.py)
-    after phase linking, which is the ordering this step list mirrors."""
+    after phase linking, which is the ordering this step list mirrors.
+
+    ``preserve_history`` (default): when a bucket is re-solved and the
+    table already holds series for it, the re-solve is datum-connect
+    SPLICED onto the stored history (merge_timeseries_history) instead
+    of overwriting it — the steady-state lifecycle (retention aged
+    days away, then new data rotated the content token) keeps the full
+    ts_series. Pass False for a from-scratch rebuild (e.g. after a
+    config change that redefines the series semantics)."""
     from .network_inversion import invert_network
 
     ckpt = CheckpointLog(store)
@@ -230,13 +311,26 @@ def run_inversion_step(
     else:
         n_done = 0
         done_set = set()
-    inv = invert_network(df_1h, cfg, method=method).persist()
+    inv = invert_network(df_1h, cfg, method=method)
+    if preserve_history and store.exists(spark, TIER_TS):
+        old = store.read(spark, TIER_TS)
+        if "hours" in old.columns:   # pre-coverage tables can't splice
+            if done_set:
+                # only the buckets being re-solved participate; done
+                # buckets' partitions are untouched by the MERGE
+                old = old.where(
+                    ~F.col("bucket").isin([int(b) for b in done_set]))
+            inv = merge_timeseries_history(old, inv)
+    # localCheckpoint (not persist): the spliced plan READS the
+    # timeseries table the MERGE below overwrites — the parquet
+    # fallback must never lazily re-read replaced files (same
+    # materialize-then-overwrite protocol as the incremental path)
+    inv = inv.localCheckpoint(eager=True)
     rows_map = dict((int(r["bucket"]), int(r["n"])) for r in
                     inv.groupBy("bucket").agg(F.count("*").alias("n"))
                        .collect())
     if rows_map:
         store.merge_partitions(inv, TIER_TS, partition_col="bucket")
-    inv.unpersist()
     # checkpoint every attempted bucket, rows=0 for empty ones (see
     # _run_tier) — and never commit an empty merge snapshot
     counts = [(b, rows_map.get(b, 0))

@@ -98,7 +98,7 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
         for g, (s, e) in enumerate(zip(starts, ends)):
             by_n.setdefault(int(e - s), []).append(g)
 
-        out_g, out_n, out_ts, out_q = [], [], [], []
+        out_g, out_n, out_ts, out_q, out_h = [], [], [], [], []
         for n, groups in by_n.items():
             if n < 2:
                 continue
@@ -126,6 +126,7 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
             out_g.append(gidx)
             out_n.append(np.full(gidx.shape[0], n, dtype=np.int32))
             out_ts.append(ts.T.astype(np.float32))   # (D, n)
+            out_h.append(hr[pos].astype(np.int32))   # (D, n) coverage
             out_q.append(qv.astype(np.float32))
         if not out_g:
             return None
@@ -133,12 +134,14 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
         n_hours = np.concatenate(out_n)
         offsets = np.concatenate([[0], np.cumsum(n_hours)]).astype(np.int32)
         flat = np.concatenate([m.reshape(-1) for m in out_ts])
+        flat_h = np.concatenate([m.reshape(-1) for m in out_h])
         g_starts = starts[gsel]
         arrays = [
             pa.array(_take_strs(lookup, g_starts, "doc_id"), pa.string()),
             pa.array(_take_strs(lookup, g_starts, "source"), pa.string()),
             pa.array(num["bucket"][g_starts].astype(np.int32)),
             pa.array(n_hours),
+            pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_h)),
             pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
             pa.array(np.concatenate(out_q)),
         ]

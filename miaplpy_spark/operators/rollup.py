@@ -121,6 +121,7 @@ _PA_TYPES = {
     "smallint": pa.int16(), "double": pa.float64(), "float": pa.float32(),
     "array<float>": pa.list_(pa.float32()),
     "array<smallint>": pa.list_(pa.int16()),
+    "array<int>": pa.list_(pa.int32()),
 }
 
 
