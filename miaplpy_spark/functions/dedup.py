@@ -192,8 +192,70 @@ def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12,
             .where(F.col("hamming") <= max_hamming))
 
 
+def _star_components(pairs: DataFrame, id1: str, id2: str,
+                     max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (the
+    two-phase MapReduce CC algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): O(log n) rounds on ANY graph
+    — the opt-in for high-diameter pair graphs where min-label
+    propagation needs O(diameter) sweeps (a 40-node chain: 40 sweeps
+    vs ~5 rounds here).
+
+    Each round is two (aggregate + join) stages, both shuffling on the
+    node key with map-side partial min — the same per-round cost shape
+    as one min-label sweep. Edges are kept in canonical child>parent
+    orientation; at the fixpoint every component is a star centered on
+    its minimum node, read off directly as the labeling.
+
+    large-star(u): m = min(N(u) ∪ {u}); relink every neighbor v > u
+    to m. small-star(u): over parent set P(u) (all < u): m = min(P);
+    relink u and every other parent to m."""
+    e = (pairs.select(F.col(id1).alias("c"), F.col(id2).alias("p"))
+         .where(F.col(id1) != F.col(id2))
+         .select(F.greatest("c", "p").alias("c"),
+                 F.least("c", "p").alias("p"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhoods
+        sym = e.unionByName(
+            e.select(F.col("p").alias("c"), F.col("c").alias("p")))
+        lm = (sym.groupBy("c").agg(F.min("p").alias("mv"))
+              .select("c", F.least("mv", "c").alias("m")))
+        e = (sym.join(lm, "c").where(F.col("p") > F.col("c"))
+             .select(F.col("p").alias("c"), F.col("m").alias("p"))
+             .distinct())
+        # small-star over the child -> parents orientation
+        sm = e.groupBy("c").agg(F.min("p").alias("m"))
+        a = sm.select("c", F.col("m").alias("p"))
+        b = (e.join(sm, "c").where(F.col("p") != F.col("m"))
+             .select(F.col("p").alias("c"), F.col("m").alias("p")))
+        e = (a.unionByName(b).where(F.col("c") != F.col("p"))
+             .distinct().localCheckpoint(eager=True))
+        # converged iff the canonical (child > parent) edge set is a
+        # star forest — no node is both a child and a parent. A
+        # canonical star's center is below every member, i.e. the
+        # component minimum, so this detects the fixpoint in the round
+        # that REACHES it (a changed-edges comparison would burn one
+        # extra no-op round just to observe stability).
+        non_star = (e.select("p").join(
+            e.select(F.col("c").alias("p")), "p", "left_semi")
+            .limit(1).count())
+        if non_star == 0:
+            return (e.select(F.col("c").alias("node"),
+                             F.col("p").alias("comp"))
+                    .unionByName(
+                        e.select(F.col("p").alias("node"),
+                                 F.col("p").alias("comp")))
+                    .distinct())
+    raise RuntimeError(
+        f"star connected components did not converge in {max_iter} "
+        "rounds; raise max_iter")
+
+
 def connected_components(pairs: DataFrame, id1: str = "doc1",
-                         id2: str = "doc2", max_iter: int = 25) -> DataFrame:
+                         id2: str = "doc2", max_iter: int = 25,
+                         algorithm: str = "minlabel") -> DataFrame:
     """(node, component) labeling over a near-dup pair graph — the
     step a dedup pipeline needs AFTER pair generation: A~B and B~C
     must collapse into ONE keep-group even when A~C was never
@@ -215,10 +277,22 @@ def connected_components(pairs: DataFrame, id1: str = "doc1",
     At 100 TB: the edge list is the (bounded) output of the LSH/
     SimHash candidate generators, orders of magnitude smaller than
     the corpus; nodes absent from any pair are singletons by
-    definition and never enter the loop (join them back as their own
-    component downstream if a total labeling is needed).
-    checkpoint-per-iteration (localCheckpoint) truncates the lineage
-    so the plan does not grow exponentially with iterations."""
+    definition and never enter the loop (dedup_keep_list's
+    ``doc_spine`` joins them back as their own component when a total
+    labeling is needed). checkpoint-per-iteration (localCheckpoint)
+    truncates the lineage so the plan does not grow exponentially
+    with iterations.
+
+    ``algorithm='star'`` switches to the alternating large-star/
+    small-star variant (_star_components): O(log n) rounds regardless
+    of diameter — use it when the pair graph may contain long chains
+    (e.g. threshold-free candidate edges). Min-label stays the
+    default: dedup clusters are shallow near-cliques, where 2-4
+    sweeps beat the star rounds' extra join."""
+    if algorithm == "star":
+        return _star_components(pairs, id1, id2, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
          .unionByName(pairs.select(F.col(id2).alias("src"),
                                    F.col(id1).alias("dst")))

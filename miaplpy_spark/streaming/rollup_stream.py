@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..config import EngineConfig
-from ..operators.rollup import rollup_1h
+from ..operators.rollup import rollup_1d, rollup_1h
 from ..sources.catalog import TierStore
 
 
@@ -87,13 +87,15 @@ def stream_running_stats(stream_df: DataFrame):
 
 STAGING_TABLE = "stream_staging"
 STREAM_TIER = "rollup_1h_stream"
+STREAM_TIER_1D = "rollup_1d_stream"
 
 
 def stream_rollup_1h(stream_df: DataFrame, store: TierStore,
                      cfg: EngineConfig = EngineConfig(),
                      checkpoint_dir: str | None = None,
                      trigger_seconds: int = 10,
-                     available_now: bool = False):
+                     available_now: bool = False,
+                     cascade_1d: bool = False):
     """Drive the batch 1h kernel per micro-batch via foreachBatch,
     with continuous-aggregate invalidation semantics:
 
@@ -109,7 +111,18 @@ def stream_rollup_1h(stream_df: DataFrame, store: TierStore,
 
     Replayed micro-batches (restart after a failed commit) double-
     append to staging; the recompute dedups on (doc_id, slot), so the
-    tier output is idempotent. Returns the started StreamingQuery."""
+    tier output is idempotent. Returns the started StreamingQuery.
+
+    ``cascade_1d`` extends each micro-batch with the 1h->1d leg
+    (round-4 VERDICT item 7): after the 1h MERGE commits, the DAYS
+    touched by this micro-batch are re-rolled from the FULL 1h tier
+    rows of those days (same recompute-from-complete-window
+    convergence argument as the hourly leg — a day whose hours span
+    micro-batches converges to the batch rollup_1d result) and MERGEd
+    into ``rollup_1d_stream`` at (bucket, day_idx) granularity. The
+    streamed 1d tier therefore equals the batch 1d tier row-for-row
+    once the backlog drains (tests/test_streaming.py pins this
+    against the batch kernel)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -128,6 +141,18 @@ def stream_rollup_1h(stream_df: DataFrame, store: TierStore,
         out = rollup_1h(rows, cfg)
         store.merge_partitions(out, STREAM_TIER,
                                partition_col=["bucket", "hour_idx"])
+        if cascade_1d:
+            day_of = lambda c: (c / cfg.hours_per_day).cast("int")
+            t_days = (touched.select(day_of(F.col("t_hour")).alias("t_day"))
+                      .distinct())
+            tier_1h = store.read(spark, STREAM_TIER)
+            day_rows = (tier_1h.join(
+                F.broadcast(t_days),
+                day_of(tier_1h["hour_idx"]) == t_days["t_day"])
+                .drop("t_day"))
+            store.merge_partitions(rollup_1d(day_rows, cfg),
+                                   STREAM_TIER_1D,
+                                   partition_col=["bucket", "day_idx"])
 
     writer = (stream_df.writeStream
               .foreachBatch(process_batch)

@@ -119,6 +119,43 @@ def test_stream_rollup_foreachbatch(spark, slices, workdir):
         q.stop()
 
 
+def test_stream_cascade_1d_equals_batch_tier(spark, workdir):
+    """Round-4 VERDICT item 7: the streaming 1h->1d leg. After the
+    backlog drains (mid-hour file splits, one file per trigger), the
+    streamed rollup_1d_stream tier must equal the BATCH 1d tier over
+    the full input, scalar-for-scalar — the per-day recompute from the
+    complete 1h rows converges exactly like the hourly leg."""
+    raw = generate_sequences(spark, SPEC, CFG).cache()
+    src = os.path.join(workdir, "arrivals3")
+    os.makedirs(src)
+    raw.where(F.col("slot") < 15).write.parquet(os.path.join(src, "s=0"))
+    schema = raw.schema
+    store = TierStore(os.path.join(workdir, "tiers3"))
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/s=*"))
+    q = stream_rollup_1h(prepare_observations(stream, CFG), store, CFG,
+                         checkpoint_dir=os.path.join(workdir, "ckpt3"),
+                         trigger_seconds=1, cascade_1d=True)
+    cols = ["doc_id", "day_idx", "n_hours", "n_obs", "sum_tok",
+            "min_tok", "max_tok"]
+    try:
+        q.processAllAvailable()
+        raw.where(F.col("slot") >= 15).write.parquet(os.path.join(src, "s=1"))
+        q.processAllAvailable()
+        got = {tuple(r) for r in store.read(spark, "rollup_1d_stream")
+               .select(*cols).collect()}
+    finally:
+        q.stop()
+    from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+    obs = prepare_observations(raw, CFG)
+    exp = {tuple(r) for r in rollup_1d(rollup_1h(obs, CFG), CFG)
+           .select(*cols).collect()}
+    raw.unpersist()
+    assert got == exp
+
+
 def test_stream_rollup_hour_spanning_micro_batches(spark, workdir):
     """An hour whose slots arrive across several micro-batches must
     converge to the same rollup as the batch kernel over the full
