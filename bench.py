@@ -406,6 +406,12 @@ def headline() -> None:
     inv_wls = min((run_invert_timed(spark, tier_dir, "WLS")
                    for _ in range(3)), key=lambda r: r["t_total_s"])
     timings["engine_invert_wls"] = inv_wls["t_total_s"]
+    # IRLS-L1 is the slowest solver (reference ifgram_inversion_L1L2
+    # .py:378-417) and the one a capacity planner sizes for — bench it
+    # beside L2/WLS (round-4 VERDICT item 3)
+    inv_l1 = min((run_invert_timed(spark, tier_dir, "L1")
+                  for _ in range(3)), key=lambda r: r["t_total_s"])
+    timings["engine_invert_l1"] = inv_l1["t_total_s"]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -419,6 +425,7 @@ def headline() -> None:
         "cascade_shp": shp_stats,
         "invert": inv_stats,
         "invert_wls": inv_wls,
+        "invert_l1": inv_l1,
     }))
     spark.stop()
 
