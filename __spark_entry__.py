@@ -329,6 +329,8 @@ def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miaplpy_spark.streaming.rollup_stream import (STREAM_TIER,
                                                        stream_rollup_1h)
 
+    from miaplpy_spark.streaming.rollup_stream import STREAM_TIER_1D
+
     cfg = EngineConfig(n_buckets=4, n_samples=8)
     root = tempfile.mkdtemp(prefix="q49_")
     obs = fixture_obs(spark, n_docs=6, n_slots=480, n_samples=8,
@@ -337,9 +339,13 @@ def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(obs.schema)
               .option("maxFilesPerTrigger", 1).parquet(f"{root}/in"))
     store = TierStore(f"{root}/wh")
+    # cascade_1d drives the streaming 1h->1d leg inside the gate
+    # (round-4 VERDICT item 7 folded into q49): the compared rows stay
+    # the 1h tier; the 1d leg's row count is asserted below and its
+    # exact batch equality is pinned by tests/test_streaming.py
     q = stream_rollup_1h(stream, store, cfg,
                          checkpoint_dir=f"{root}/ckpt",
-                         available_now=True)
+                         available_now=True, cascade_1d=True)
     # awaitTermination returns False on timeout WITHOUT raising; a
     # partial read of the tier mid-drain must be an error, not a
     # flaky hash mismatch
@@ -347,6 +353,11 @@ def _streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("q49 stream drain exceeded 600 s")
     tier = store.read(spark, STREAM_TIER)
+    n_1d = store.read(spark, STREAM_TIER_1D).count()
+    n_doc_days = (tier.select(
+        "doc_id", (F.col("hour_idx") / cfg.hours_per_day).cast("int"))
+        .distinct().count())
+    assert n_1d == n_doc_days, (n_1d, n_doc_days)
     return _materialize_and_clean(tier.select(
         "doc_id", "source",
         F.col("hour_idx").cast("int").alias("hour_idx"),

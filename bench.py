@@ -346,6 +346,10 @@ def headline() -> None:
         # scale-path ANN benched alongside its brute-force baseline so
         # the plan that matters at 100 TB gets a trend line (q42 vs q23)
         "q42_ivf_ann",
+        # the end-to-end curation composition (quality + exact dedup +
+        # LSH components + assembly) — the number a pretraining user
+        # actually plans capacity around
+        "q52_curate_corpus",
     ]
     # one untimed warmup action first: JVM/codegen/Arrow startup used
     # to land entirely inside q01's number (5+ s of the ~1 s query).

@@ -335,6 +335,81 @@ def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
             .select("qid", "nid", "sim", F.col("rk").cast("long").alias("rk")))
 
 
+def ivf_build_index(spark, sf_dir, index_dir: str, n_cells: int = 16,
+                    dim: int = 64, fit_dir: str | None = None) -> int:
+    """Materialize the IVF index as a CELL-PARTITIONED table — the
+    disk layout the ivf_ann_topk docstring promises at 100 TB, made
+    real: every vector is assigned to its nearest centroid (the same
+    shuffle-free literal-codebook argmin) and written
+    ``partitionBy("cell")``, with the 6-dp centroid literals saved
+    alongside as JSON. A probe then reads ONLY its n_probe cell
+    directories — partition pruning at the parquet source, not a
+    post-scan filter (tests pin ``PartitionFilters`` in the plan).
+    Returns the number of cells written."""
+    import json
+    import os
+
+    cents = fit_ivf_codebook(fit_dir or codebook_fit_dir(sf_dir),
+                             n_cells, dim)
+    e = _emb(spark, sf_dir)
+    # d2s stays ONE array expression materialized by its own select
+    # (ivf_ann_topk's shape): referencing _d2_array twice in one
+    # projection lets CollapseProject inline the big fold tree
+    # quadratically (measured OOM in round 2)
+    dists = e.select("vec_id", "embedding",
+                     _d2_array(F.col("embedding"), cents).alias("d2s"))
+    assigned = dists.select(
+        "vec_id", "embedding",
+        (F.array_position(F.col("d2s"), F.array_min("d2s")) - 1)
+        .cast("long").alias("cell"))
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_dir}/vectors"))
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/centroids.json", "w") as f:
+        json.dump(cents, f)
+    return n_cells
+
+
+def ivf_query_index(spark, index_dir: str, queries: DataFrame,
+                    k: int = 5, n_probe: int = 4) -> DataFrame:
+    """Query a materialized IVF index (ivf_build_index): rank the
+    saved centroids per query (tiny: queries x cells), collect the
+    UNION of probed cell ids driver-side (n_queries x n_probe longs),
+    and scan the index with ``cell IN (...)`` so the parquet source
+    prunes to exactly those cell directories — the I/O path where IVF
+    beats any full-scan ANN at scale: a batch probing p of C cells
+    reads p/C of the bytes, before any row is decoded.
+
+    ``queries``: DataFrame with (qid long, qv array<float>)."""
+    import json
+
+    from pyspark.sql import Window
+
+    with open(f"{index_dir}/centroids.json") as f:
+        cents = json.load(f)
+    qd = (queries.select(
+        "qid", "qv",
+        F.posexplode(_d2_array(F.col("qv"), cents)).alias("cell", "d2")))
+    wq = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (qd.withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= n_probe)
+              .select("qid", "qv", F.col("cell").cast("long").alias("cell"))
+              .localCheckpoint(eager=True))
+    cells = sorted({int(r["cell"]) for r in
+                    probes.select("cell").distinct().collect()})
+    idx = (spark.read.parquet(f"{index_dir}/vectors")
+           .where(F.col("cell").isin(cells)))   # partition-pruned scan
+    cand = (F.broadcast(probes).join(idx, "cell")
+            .where(F.col("qid") != F.col("vec_id")))
+    cand = with_cosine(cand, "qv", "embedding").withColumn(
+        "sim", F.round("cos", 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", F.col("vec_id").alias("nid"), "sim",
+                    F.col("rk").cast("long").alias("rk")))
+
+
 def label_centroids(spark, sf_dir) -> DataFrame:
     """Per-label centroid of the first 4 dimensions (array aggregation
     check shared with the DuckDB oracle)."""

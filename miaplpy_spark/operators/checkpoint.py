@@ -90,6 +90,31 @@ class CheckpointLog:
               .withColumn("updated_at", F.timestamp_seconds(F.lit(now))))
         self.store.append(df, CHECKPOINT_TABLE)
 
+    def compact(self, spark: SparkSession) -> dict:
+        """Rewrite the append-only checkpoint log to its LATEST row per
+        (tier, partition_key). Every tier job appends one row per
+        bucket forever; completed_keys / latest_completions aggregate
+        the full history each run, so a long-lived lifecycle pays an
+        O(runs) metadata scan — compaction resets it to O(tiers x
+        buckets). Resume semantics are untouched: both readers already
+        reduce to the max_by(updated_at) row, which is exactly what
+        survives (ONE max_by over the full struct, so all surviving
+        fields come from the same row even under same-second ties)."""
+        df = self._read(spark)
+        if df is None:
+            return {"rows_before": 0, "rows_after": 0}
+        before = df.count()
+        rest = [c for c in df.columns
+                if c not in ("tier", "partition_key")]
+        latest = (df.groupBy("tier", "partition_key")
+                  .agg(F.max_by(F.struct(*rest), "updated_at")
+                       .alias("last"))
+                  .select("tier", "partition_key", "last.*")
+                  .localCheckpoint(eager=True))   # reads the table we replace
+        self.store.overwrite(latest, CHECKPOINT_TABLE, partition_col=None)
+        after = latest.count()
+        return {"rows_before": int(before), "rows_after": int(after)}
+
     def metrics(self, spark: SparkSession) -> DataFrame:
         """Per-(tier, bucket) lineage + rows-processed view (north_rule
         'every partition emits lineage + rows-processed metrics')."""

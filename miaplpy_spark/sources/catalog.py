@@ -94,17 +94,22 @@ class TierStore:
            .parquet(self.path(table)))
 
     def overwrite(self, df: DataFrame, table: str,
-                  partition_col: str | list[str] = "bucket") -> None:
+                  partition_col: str | list[str] | None = "bucket") -> None:
         """Replace the WHOLE table (unlike merge_partitions, partitions
         absent from ``df`` are dropped too — retention deletes need
         this). Iceberg: createOrReplace snapshot commit; parquet
-        fallback: static-mode overwrite. Callers must materialize
-        ``df`` first (localCheckpoint) if it reads from this table."""
+        fallback: static-mode overwrite. ``partition_col=None`` keeps
+        the table unpartitioned (append-log tables). Callers must
+        materialize ``df`` first (localCheckpoint) if it reads from
+        this table."""
         cols = ([partition_col] if isinstance(partition_col, str)
-                else list(partition_col))
+                else list(partition_col or []))
         if self.use_iceberg:
-            (df.writeTo(f"{self.namespace}.{table}")
-               .partitionedBy(*cols).createOrReplace())
+            w = df.writeTo(f"{self.namespace}.{table}")
+            (w.partitionedBy(*cols) if cols else w).createOrReplace()
+            return
+        if not cols:
+            df.write.mode("overwrite").parquet(self.path(table))
             return
         if df.isEmpty():
             # partitioned write of 0 rows leaves no schema-bearing
@@ -194,8 +199,57 @@ class TierStore:
                          f"{st.st_mtime_ns}\n".encode())
         return h.hexdigest()[:16]
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(self, df: DataFrame, table: str,
+               partition_col: str | list[str] | None = None) -> None:
+        """Append rows; ``partition_col`` lays the parquet fallback out
+        as partition directories so later reads prune and
+        drop_partitions can age them without rewrites (Iceberg tables
+        carry their partition spec from creation, so the argument is
+        ignored there)."""
         if self.use_iceberg:
             df.writeTo(f"{self.namespace}.{table}").append()
             return
-        df.write.mode("append").parquet(self.path(table))
+        w = df.write.mode("append")
+        if partition_col:
+            cols = ([partition_col] if isinstance(partition_col, str)
+                    else list(partition_col))
+            w = w.partitionBy(*cols)
+        w.parquet(self.path(table))
+
+    def drop_partitions(self, spark: SparkSession, table: str,
+                        partition_col: str, below: int) -> int:
+        """Drop whole partitions with ``partition_col < below`` — a
+        metadata/directory-level delete, never a rewrite: Iceberg
+        issues a partition-aligned DELETE; the parquet fallback removes
+        the ``col=value`` directories (posix or Hadoop FS). Returns the
+        number of partitions dropped."""
+        if self.use_iceberg:
+            spark.sql(f"DELETE FROM {self.namespace}.{table} "
+                      f"WHERE {partition_col} < {int(below)}")
+            return -1   # Iceberg reports via snapshot summary
+        if not self.exists(spark, table):
+            return 0
+        base = self.path(table)
+        dropped = 0
+        if self._has_scheme(base):
+            fs, hpath = self._hadoop_fs(spark, base)
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if name.startswith(f"{partition_col}="):
+                    try:
+                        if int(name.split("=", 1)[1]) < below:
+                            fs.delete(st.getPath(), True)
+                            dropped += 1
+                    except ValueError:
+                        continue
+            return dropped
+        import shutil
+        for name in os.listdir(base):
+            if name.startswith(f"{partition_col}="):
+                try:
+                    if int(name.split("=", 1)[1]) < below:
+                        shutil.rmtree(os.path.join(base, name))
+                        dropped += 1
+                except ValueError:
+                    continue
+        return dropped

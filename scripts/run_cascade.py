@@ -114,6 +114,11 @@ def main(argv=None) -> int:
                          "tier (default: keep only the newest day hot)")
     ap.add_argument("--invert-method", default="L2",
                     choices=["L2", "WLS", "L1"])
+    ap.add_argument("--compact-checkpoints", action="store_true",
+                    help="after the selected steps, rewrite the "
+                         "append-only checkpoint log to its latest row "
+                         "per (tier, bucket) — bounds the O(runs) "
+                         "metadata scan of long-lived lifecycles")
     args = ap.parse_args(argv)
 
     steps = select_steps(args.steps, args.start, args.dostep)
@@ -170,6 +175,10 @@ def main(argv=None) -> int:
                 restamp_inversion_checkpoints(
                     spark, store, cfg, pre_lin,
                     method=args.invert_method, input_id=input_id)
+
+    if args.compact_checkpoints:
+        from miaplpy_spark.operators.checkpoint import CheckpointLog
+        metrics["compact"] = CheckpointLog(store).compact(spark)
 
     metrics["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))

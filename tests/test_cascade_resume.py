@@ -136,3 +136,31 @@ def test_cascade_string_free_matches_default(spark, obs, workdir):
         b = _snapshot(spark, s_b, tier)
         assert list(a.columns) == list(b.columns)
         _assert_snapshots_match(b, a)
+
+
+def test_checkpoint_compaction_preserves_resume(spark, obs, workdir):
+    """compact() collapses the append-only log to one row per (tier,
+    bucket) without changing what completed_keys / latest_completions
+    return — and the compacted log still drives a full no-op rerun."""
+    store = TierStore(os.path.join(workdir, "compact_wh"))
+    run_cascade(spark, obs, store, CFG, input_id="v1")
+    run_cascade(spark, obs, store, CFG, input_id="v2", resume=False)
+    ckpt = CheckpointLog(store)
+    from miaplpy_spark.operators.cascade import lineage_hash
+    lin = lineage_hash(CFG, "rollup_1h", "v2")
+    pre_keys = sorted(r["partition_key"] for r in
+                      ckpt.completed_keys(spark, "rollup_1h", lin).collect())
+    pre_latest = ckpt.latest_completions(spark, "rollup_1h", lin)
+    assert pre_keys == [0, 1, 2, 3]
+
+    m = ckpt.compact(spark)
+    assert m["rows_after"] < m["rows_before"]
+    assert m["rows_after"] == 8   # 2 tiers x 4 buckets, latest only
+
+    post_keys = sorted(r["partition_key"] for r in
+                       ckpt.completed_keys(spark, "rollup_1h", lin).collect())
+    assert post_keys == pre_keys
+    assert ckpt.latest_completions(spark, "rollup_1h", lin) == pre_latest
+    m2 = run_cascade(spark, obs, store, CFG, input_id="v2")
+    assert m2["raw->1h"]["buckets_processed"] == 0
+    assert m2["1h->1d"]["buckets_processed"] == 0

@@ -46,6 +46,33 @@ def test_codebook_fit_dir_explicit_wins(monkeypatch):
     assert sim.codebook_fit_dir() == "/root/testdata/sf0.01"
 
 
+def test_ivf_materialized_index_prunes_and_matches(spark, tmp_path):
+    """The cell-partitioned IVF index: (a) querying it returns exactly
+    the inline ivf_ann_topk results (same fit, same probe ranking);
+    (b) the probe scan is PARTITION-PRUNED — the cell predicate shows
+    up as a PartitionFilter at the parquet source, so a probe reads
+    n_probe/n_cells of the bytes before decoding a single row."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.plans.explain import plan_string
+
+    idx_dir = str(tmp_path / "ivf_idx")
+    sim.ivf_build_index(spark, SF_DIR, idx_dir, fit_dir=SF_DIR)
+    queries = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+               .where(F.col("vec_id") < 20)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    out = sim.ivf_query_index(spark, idx_dir, queries)
+    got = {tuple(r) for r in out.collect()}
+    exp = {tuple(r) for r in
+           sim.ivf_ann_topk(spark, SF_DIR, fit_dir=SF_DIR).collect()}
+    assert got == exp and len(got) == 100
+
+    plan = plan_string(out, "formatted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l for l in pf), pf
+
+
 def test_ivf_codebook_shape(spark):
     cents = sim.ivf_train_centroids(spark, SF_DIR, n_cells=4)
     assert len(cents) == 4 and all(len(c) == 64 for c in cents)

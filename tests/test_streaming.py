@@ -156,6 +156,67 @@ def test_stream_cascade_1d_equals_batch_tier(spark, workdir):
     assert got == exp
 
 
+def test_staging_partitioned_and_pruned(spark, workdir):
+    """Staging is laid out as stage_hour=N partitions; with
+    staging_keep_hours the closed hours' directories are aged away
+    while the tier stays exact — staging no longer grows with stream
+    lifetime."""
+    raw = generate_sequences(spark, SPEC, CFG).cache()
+    src = os.path.join(workdir, "arr_prune")
+    os.makedirs(src)
+    raw.where(F.col("slot") < 20).write.parquet(os.path.join(src, "s=0"))
+    store = TierStore(os.path.join(workdir, "tiers_prune"))
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src + "/s=*"))
+    q = stream_rollup_1h(prepare_observations(stream, CFG), store, CFG,
+                         checkpoint_dir=os.path.join(workdir, "ck_prune"),
+                         trigger_seconds=1, staging_keep_hours=1)
+    try:
+        q.processAllAvailable()
+        raw.where(F.col("slot") >= 20).write.parquet(os.path.join(src, "s=1"))
+        q.processAllAvailable()
+        staging = store.path("stream_staging")
+        parts = sorted(p for p in os.listdir(staging)
+                       if p.startswith("stage_hour="))
+        # after hours 2,3 arrive with keep=1, hours < 2 are gone
+        assert parts == ["stage_hour=2", "stage_hour=3"], parts
+        out = store.read(spark, "rollup_1h_stream")
+        assert out.count() == 3 * 4   # tier still complete and exact
+    finally:
+        q.stop()
+    raw.unpersist()
+
+
+def test_late_arrival_below_prune_boundary_raises(spark, workdir):
+    """A replay touching an hour whose staging was aged away must fail
+    loudly — recomputing that hour from partial rows would overwrite a
+    complete tier window."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    raw = generate_sequences(spark, SPEC, CFG).cache()
+    src = os.path.join(workdir, "arr_late")
+    os.makedirs(src)
+    raw.where(F.col("slot") >= 20).write.parquet(os.path.join(src, "s=0"))
+    store = TierStore(os.path.join(workdir, "tiers_late"))
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src + "/s=*"))
+    q = stream_rollup_1h(prepare_observations(stream, CFG), store, CFG,
+                         checkpoint_dir=os.path.join(workdir, "ck_late"),
+                         trigger_seconds=1, staging_keep_hours=0)
+    try:
+        q.processAllAvailable()   # hours 2,3 processed, boundary -> 3
+        raw.where(F.col("slot") < 10).write.parquet(os.path.join(src, "s=1"))
+        with pytest.raises(StreamingQueryException,
+                           match="below the pruned staging boundary"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+    raw.unpersist()
+
+
 def test_stream_rollup_hour_spanning_micro_batches(spark, workdir):
     """An hour whose slots arrive across several micro-batches must
     converge to the same rollup as the batch kernel over the full
