@@ -288,10 +288,6 @@ def run_inversion_step(
     # restamp_inversion_checkpoints; any invalidation here without a
     # restamp is conservative, never stale.
     lineage = inversion_lineage(spark, store, cfg, method, input_id)
-    # under salt_by_day a doc's hourly rows span buckets, so a
-    # per-bucket skip could feed partial docs to the solver — resume
-    # only when buckets are doc-pure
-    resume = resume and not cfg.salt_by_day
     if resume:
         done = ckpt.completed_keys(spark, TIER_TS, lineage)
         done_rows = done.collect()   # one job: count + set from one pass
@@ -305,9 +301,20 @@ def run_inversion_step(
                     "method": method, "buckets_skipped": n_done,
                     "buckets_processed": 0, "rows_written": 0}
         if n_done:
-            df_1h = df_1h.join(F.broadcast(done),
-                               df_1h["bucket"] == done["partition_key"],
-                               "left_anti")
+            # cull on the DOC-PURE derived bucket (the timeseries
+            # table's partition key — invert_network re-derives it
+            # from the doc hash), NOT the input's bucket column: under
+            # salt_by_day the input buckets are (doc, day)-salted and
+            # a per-input-bucket skip would feed partial docs to the
+            # solver. This is what makes per-bucket resume safe under
+            # salting (it was force-disabled before round 5).
+            doc_bucket = (F.pmod(F.xxhash64("doc_id"),
+                                 F.lit(cfg.n_buckets)).cast("int"))
+            df_1h = (df_1h.withColumn("_doc_bucket", doc_bucket)
+                     .join(F.broadcast(done),
+                           F.col("_doc_bucket") == done["partition_key"],
+                           "left_anti")
+                     .drop("_doc_bucket"))
     else:
         n_done = 0
         done_set = set()

@@ -76,9 +76,18 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     from .rollup import with_doc_keys
     keyed = with_doc_keys(df_1h, cfg)
     key_cols = ["doc_key"] + (["doc_key2"] if wide else [])
+    # the OUTPUT bucket is re-derived doc-pure (hash of doc_id, the
+    # un-salted bucketing) rather than passed through from the input:
+    # under salt_by_day a doc's hourly rows span (doc, day) buckets,
+    # and carrying the first row's salted bucket would make the
+    # timeseries partitions doc-impure — breaking per-bucket
+    # checkpoint resume. With salting off this is identical to the
+    # input bucket by construction.
+    doc_bucket = (F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets))
+                  .cast("int"))
     slim = keyed.select(
         "doc_id", *key_cols,
-        "source", "bucket", "hour_idx",
+        "source", doc_bucket.alias("bucket"), "hour_idx",
         theta.cast("double").alias("theta"),
         q_col.cast("double").alias("q"))
 

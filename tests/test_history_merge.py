@@ -87,6 +87,21 @@ def test_steady_state_lifecycle_keeps_history(spark, tmp_path):
     assert m3["buckets_processed"] == 0 and m3["buckets_skipped"] == 2
 
 
+def test_inversion_resume_under_salt_by_day(spark, tmp_path):
+    """Per-bucket inversion resume is now safe under salt_by_day: the
+    timeseries bucket is re-derived doc-pure from the doc hash, and
+    the checkpoint cull keys on the same derived bucket — a rerun is
+    a full no-op (resume was force-disabled under salting before)."""
+    cfg = EngineConfig(n_buckets=4, n_samples=8, salt_by_day=True)
+    store = TierStore(str(tmp_path / "wh"))
+    hourly = fixture_hourly(spark, n_docs=8, n_hours=48, n_buckets=4)
+    store.merge_partitions(hourly, TIER_1H)
+    m1 = run_inversion_step(spark, store, cfg)
+    assert m1["buckets_processed"] == 4 and m1["rows_written"] == 8
+    m2 = run_inversion_step(spark, store, cfg)
+    assert m2["buckets_skipped"] == 4 and m2["buckets_processed"] == 0
+
+
 def test_preserve_history_off_rebuilds_from_hot(spark, tmp_path):
     cfg = EngineConfig(n_buckets=2, n_samples=8)
     store = TierStore(str(tmp_path / "wh"))
