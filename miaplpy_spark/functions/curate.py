@@ -99,7 +99,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
                               verify_threshold=near_dup_threshold)
     near = _with_keys(
         dedup_keep_list(pairs,
-                        doc_spine=_docs(spark, sf_dir).select("doc_id"))
+                        doc_spine=_docs(spark, sf_dir).select("doc_id"),
+                        # star: curation runs over arbitrary corpora,
+                        # where near-dup chain diameter is unbounded —
+                        # O(log n) rounds regardless (the sf0.1 pair
+                        # graph exceeds min-label's 25-sweep bound)
+                        algorithm="star")
         .select("doc_id", F.col("keep").alias("near_keep")), cfg)
 
     out = (spine

@@ -328,7 +328,8 @@ def connected_components(pairs: DataFrame, id1: str = "doc1",
 def dedup_keep_list(pairs: DataFrame, id1: str = "doc1",
                     id2: str = "doc2",
                     doc_spine: DataFrame | None = None,
-                    spine_col: str = "doc_id") -> DataFrame:
+                    spine_col: str = "doc_id",
+                    algorithm: str = "minlabel") -> DataFrame:
     """Canonical keep/drop decision per near-dup component: the
     lexicographically-smallest doc id in each connected component is
     kept, every other member is dropped (deterministic — reruns and
@@ -342,8 +343,14 @@ def dedup_keep_list(pairs: DataFrame, id1: str = "doc1",
     come back as their own singleton component with keep=true — one
     left-anti join of the spine against the (tiny) paired-node set,
     so downstream consumers get exactly one row per doc without
-    re-deriving the complement themselves."""
-    comps = connected_components(pairs, id1, id2)
+    re-deriving the complement themselves.
+
+    ``algorithm`` passes through to connected_components — pick
+    'star' when the pair graph's diameter is unbounded (near-dup
+    chains over a large corpus routinely exceed any fixed sweep
+    budget; measured: the sf0.1 MinHash graph blows the 25-sweep
+    min-label bound while star converges in a handful of rounds)."""
+    comps = connected_components(pairs, id1, id2, algorithm=algorithm)
     w_min = comps.groupBy("comp").agg(F.min("node").alias("canonical"))
     labeled = (comps.join(w_min, "comp")
                .select(F.col("node").alias("doc_id"), "comp",

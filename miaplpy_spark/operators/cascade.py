@@ -173,7 +173,8 @@ def run_cascade(
 TIER_TS = "timeseries"
 
 
-def merge_timeseries_history(old: DataFrame, new: DataFrame) -> DataFrame:
+def merge_timeseries_history(old: DataFrame, new: DataFrame,
+                             cfg: EngineConfig | None = None) -> DataFrame:
     """Splice a hot-window inversion re-solve onto checkpointed
     full-history series (round-4 ADVICE, medium): in the steady-state
     lifecycle (retention ages days away, then new data arrives and
@@ -198,23 +199,34 @@ def merge_timeseries_history(old: DataFrame, new: DataFrame) -> DataFrame:
       exists; this is the documented conservative fallback.
 
     All array work is built-in expressions (zip/filter/transform/
-    concat) — no Python in the plan; the one shuffle is the doc_id
-    join of two doc-cardinality tables."""
-    o = old.select(
-        "doc_id",
-        F.col("source").alias("o_source"),
-        F.col("bucket").alias("o_bucket"),
-        F.col("hours").alias("o_hours"),
-        F.col("ts_series").alias("o_ts"),
-        F.col("inv_quality").alias("o_q"))
-    n = new.select(
-        "doc_id",
-        F.col("source").alias("n_source"),
-        F.col("bucket").alias("n_bucket"),
-        F.col("hours").alias("n_hours_arr"),
-        F.col("ts_series").alias("n_ts"),
-        F.col("inv_quality").alias("n_q"))
-    j = o.join(n, "doc_id", "full_outer")
+    concat) — no Python in the plan; the one shuffle is the full-outer
+    join of two doc-cardinality tables, keyed on xxhash64 doc_key
+    (doc_key2 under ``cfg.wide_doc_key`` — the engine's join-key
+    doctrine), never the doc_id string."""
+    wide = cfg is not None and getattr(cfg, "wide_doc_key", False)
+    from ..config import DOC_KEY2_SALT
+
+    def keyed(df, doc, src, bkt, hrs, ts, q):
+        out = df.select(
+            F.col("doc_id").alias(doc),
+            F.xxhash64("doc_id").alias("doc_key"),
+            F.col("source").alias(src),
+            F.col("bucket").alias(bkt),
+            F.col("hours").alias(hrs),
+            F.col("ts_series").alias(ts),
+            F.col("inv_quality").alias(q))
+        if wide:
+            out = out.withColumn(
+                "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col(doc)))
+        return out
+
+    o = keyed(old, "o_doc", "o_source", "o_bucket", "o_hours", "o_ts",
+              "o_q")
+    n = keyed(new, "n_doc", "n_source", "n_bucket", "n_hours_arr",
+              "n_ts", "n_q")
+    join_keys = ["doc_key"] + (["doc_key2"] if wide else [])
+    j = (o.join(n, join_keys, "full_outer")
+         .withColumn("doc_id", F.coalesce("n_doc", "o_doc")))
     anchor = F.array_min(F.array_intersect("n_hours_arr", "o_hours"))
     off = (F.element_at(
                "o_ts", F.array_position("o_hours", anchor).cast("int"))
@@ -327,7 +339,7 @@ def run_inversion_step(
                 # buckets' partitions are untouched by the MERGE
                 old = old.where(
                     ~F.col("bucket").isin([int(b) for b in done_set]))
-            inv = merge_timeseries_history(old, inv)
+            inv = merge_timeseries_history(old, inv, cfg)
     # localCheckpoint (not persist): the spliced plan READS the
     # timeseries table the MERGE below overwrites — the parquet
     # fallback must never lazily re-read replaced files (same
