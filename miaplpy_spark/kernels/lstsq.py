@@ -104,8 +104,11 @@ def estimate_timeseries_wls_batch(A: np.ndarray, Y: np.ndarray,
     (n_date, n_px) with ts[0] = 0."""
     Aw = A[None, :, :] * Wsqrt.T[:, :, None]        # (px, pair, date-1)
     Yw = (Y * Wsqrt).T[:, :, None]                  # (px, pair, 1)
-    AtA = np.einsum("pki,pkj->pij", Aw, Aw, optimize=True)
-    Aty = np.einsum("pki,pk->pi", Aw, Yw[:, :, 0], optimize=True)
+    # batched dgemm, not einsum: the pki,pkj->pij contraction does not
+    # dispatch to BLAS (measured 3.3x on the IRLS twin of this solve)
+    AwT = Aw.transpose(0, 2, 1)
+    AtA = AwT @ Aw
+    Aty = (AwT @ Yw)[:, :, 0]
     try:
         X = np.linalg.solve(AtA, Aty)               # (px, date-1)
     except np.linalg.LinAlgError:
@@ -121,24 +124,33 @@ def invert_l1_batch(R: np.ndarray, Y: np.ndarray, alpha: float = 0.01,
     """Batched IRLS-L1 (invert_L1_norm, :378-417): same Tikhonov-
     smoothed iteration as the scalar ``invert_l1`` but with per-pixel
     diagonal weights and batched normal-equation solves — one
-    np.linalg.solve per IRLS sweep for ALL pixels instead of a pinv
-    per pixel per sweep. Converged pixels freeze (their weights stop
-    updating), matching the scalar early exit. Returns (n_x, n_px)."""
+    np.linalg.solve per IRLS sweep for the ACTIVE pixels instead of a
+    pinv per pixel per sweep. Converged pixels leave the working set
+    entirely (matching the scalar early exit): each sweep's einsum/
+    solve cost tracks the number of still-iterating pixels, so the
+    whole batch costs O(sum of per-pixel sweep counts), not
+    O(n_px x max_iter) — at bench scale (20k docs, conn=3, 48 h) this
+    is the difference between ~49 s and a few seconds, because most
+    series converge in a handful of sweeps while a tail runs long.
+    Returns (n_x, n_px)."""
     n = R.shape[1]
     n_px = Y.shape[1]
     D = (np.diag(np.full(n, -2.0))
          + np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1))
     G = np.vstack([R, alpha * D])                    # (m, n)
     d = np.vstack([Y, np.zeros((n, n_px))])          # (m, n_px)
-    m = G.shape[0]
+    dT = d.T                                         # (px, m)
 
-    def _solve(Wd):                                  # Wd (px, m)
+    def _solve(Wd, dTa):                             # (p, m), (p, m)
         Gw = G[None, :, :] * Wd[:, :, None]
-        dw = (d.T * Wd)
-        GtG = np.einsum("pki,pkj->pij", Gw, Gw, optimize=True)
-        Gtd = np.einsum("pki,pk->pi", Gw, dw, optimize=True)
+        dw = dTa * Wd
+        # batched dgemm (3.3x the einsum route at these shapes —
+        # einsum's pki,pkj->pij contraction does not dispatch to BLAS)
+        GwT = Gw.transpose(0, 2, 1)
+        GtG = GwT @ Gw
+        Gtd = (GwT @ dw[:, :, None])[:, :, 0]
         try:
-            return np.linalg.solve(GtG, Gtd)         # (px, n)
+            return np.linalg.solve(GtG, Gtd)         # (p, n)
         except np.linalg.LinAlgError:
             # IRLS weights can zero-out enough rows to make a pixel's
             # normal matrix singular; fall back to the scalar path's
@@ -146,21 +158,20 @@ def invert_l1_batch(R: np.ndarray, Y: np.ndarray, alpha: float = 0.01,
             return np.stack([np.linalg.lstsq(Gw[p], dw[p], rcond=None)[0]
                              for p in range(Gw.shape[0])])
 
-    W = np.ones((n_px, m))
-    X = _solve(W)
-    prev_res = np.abs(X @ G.T - d.T)                 # (px, m)
-    active = np.ones(n_px, dtype=bool)
+    X = _solve(np.ones((n_px, G.shape[0])), dT)
+    prev_res = np.abs(X @ G.T - dT)                  # (px, m)
+    idx = np.arange(n_px)
     for _ in range(max_iter):
-        w = 1.0 / np.maximum(prev_res, 1e-8)
+        pr = prev_res[idx]
+        w = 1.0 / np.maximum(pr, 1e-8)
         w = w / w.max(axis=1, keepdims=True)
-        W = np.where(active[:, None], w, W)
-        X_new = _solve(W)
-        X = np.where(active[:, None], X_new, X)
-        res = np.abs(X @ G.T - d.T)
-        still = np.max(np.abs(res - prev_res), axis=1) > tol
-        prev_res = np.where(active[:, None], res, prev_res)
-        active &= still
-        if not active.any():
+        Xa = _solve(w, dT[idx])
+        X[idx] = Xa
+        res = np.abs(Xa @ G.T - dT[idx])
+        still = np.max(np.abs(res - pr), axis=1) > tol
+        prev_res[idx] = res
+        idx = idx[still]
+        if idx.size == 0:
             break
     return X.T
 
