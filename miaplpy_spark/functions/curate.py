@@ -100,11 +100,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
     near = _with_keys(
         dedup_keep_list(pairs,
                         doc_spine=_docs(spark, sf_dir).select("doc_id"),
-                        # star: curation runs over arbitrary corpora,
+                        # auto: curation runs over arbitrary corpora,
                         # where near-dup chain diameter is unbounded —
-                        # O(log n) rounds regardless (the sf0.1 pair
-                        # graph exceeds min-label's 25-sweep bound)
-                        algorithm="star")
+                        # driver union-find below the edge threshold
+                        # (the verified pair graph is orders smaller
+                        # than the corpus), star rounds (O(log n) at
+                        # any diameter) above it; min-label's 25-sweep
+                        # bound blows up on the sf0.1 graph's chains
+                        algorithm="auto")
         .select("doc_id", F.col("keep").alias("near_keep")), cfg)
 
     out = (spine

@@ -192,6 +192,49 @@ def simhash_near_pairs(spark, sf_dir, max_hamming: int = 12,
             .where(F.col("hamming") <= max_hamming))
 
 
+def _canonical_edges(pairs: DataFrame, id1: str, id2: str) -> DataFrame:
+    """Distinct undirected edges in child>parent orientation."""
+    return (pairs.select(F.col(id1).alias("c"), F.col(id2).alias("p"))
+            .where(F.col(id1) != F.col(id2))
+            .select(F.greatest("c", "p").alias("c"),
+                    F.least("c", "p").alias("p"))
+            .distinct())
+
+
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Exact union-find on a DRIVER-COLLECTED edge list — the small-
+    graph fast path the ``auto`` mode picks below its edge threshold
+    (the same adaptivity as a broadcast-join threshold: when the
+    deduplicated pair graph fits comfortably on the driver, one
+    union-find beats 6-10 distributed rounds of fixed job latency).
+    Input must be the canonical distinct edge set."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["c"]), find(r["p"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        comp_min[root] = node if cur is None else min(cur, node)
+    out = [(n, comp_min[find(n)]) for n in parent]
+    t = e.schema["c"].dataType.simpleString()
+    return e.sparkSession.createDataFrame(
+        out, f"node {t}, comp {t}")
+
+
 def _star_components(pairs: DataFrame, id1: str, id2: str,
                      max_iter: int) -> DataFrame:
     """Alternating large-star/small-star connected components (the
@@ -210,12 +253,7 @@ def _star_components(pairs: DataFrame, id1: str, id2: str,
     large-star(u): m = min(N(u) ∪ {u}); relink every neighbor v > u
     to m. small-star(u): over parent set P(u) (all < u): m = min(P);
     relink u and every other parent to m."""
-    e = (pairs.select(F.col(id1).alias("c"), F.col(id2).alias("p"))
-         .where(F.col(id1) != F.col(id2))
-         .select(F.greatest("c", "p").alias("c"),
-                 F.least("c", "p").alias("p"))
-         .distinct()
-         .localCheckpoint(eager=True))
+    e = _canonical_edges(pairs, id1, id2).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # large-star over the symmetric neighborhoods
         sym = e.unionByName(
@@ -255,7 +293,8 @@ def _star_components(pairs: DataFrame, id1: str, id2: str,
 
 def connected_components(pairs: DataFrame, id1: str = "doc1",
                          id2: str = "doc2", max_iter: int = 25,
-                         algorithm: str = "minlabel") -> DataFrame:
+                         algorithm: str = "minlabel",
+                         driver_max_edges: int = 2_000_000) -> DataFrame:
     """(node, component) labeling over a near-dup pair graph — the
     step a dedup pipeline needs AFTER pair generation: A~B and B~C
     must collapse into ONE keep-group even when A~C was never
@@ -288,7 +327,22 @@ def connected_components(pairs: DataFrame, id1: str = "doc1",
     of diameter — use it when the pair graph may contain long chains
     (e.g. threshold-free candidate edges). Min-label stays the
     default: dedup clusters are shallow near-cliques, where 2-4
-    sweeps beat the star rounds' extra join."""
+    sweeps beat the star rounds' extra join.
+
+    ``algorithm='auto'`` counts the deduplicated edge set first: at or
+    below ``driver_max_edges`` (a broadcast-threshold-style knob;
+    2M edges ~ tens of MB) it runs one exact driver-side union-find —
+    for the common case where LSH verification leaves a pair graph
+    orders of magnitude smaller than the corpus, this replaces 6-10
+    distributed rounds of fixed job latency with microseconds — and
+    above it, the star rounds (diameter-safe at any scale)."""
+    if algorithm == "auto":
+        e = _canonical_edges(pairs, id1, id2).localCheckpoint(eager=True)
+        if e.count() <= driver_max_edges:
+            return _driver_components(e)
+        return _star_components(e.select(F.col("c").alias(id1),
+                                         F.col("p").alias(id2)),
+                                id1, id2, max_iter)
     if algorithm == "star":
         return _star_components(pairs, id1, id2, max_iter)
     if algorithm != "minlabel":

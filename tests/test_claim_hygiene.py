@@ -41,34 +41,46 @@ def test_readme_query_count_matches_registration():
 def test_readme_bench_claims_track_artifacts():
     """Round-4 VERDICT item 8: README cites specific inversion
     throughputs that silently went stale as reruns improved (claimed
-    2.44x while BENCH_r04 measured 2.9x). Pin the README numbers to
-    the BEST measured artifact within 10% below / 5% above, and the
-    'Nx reference' multiples to the claimed absolute numbers."""
+    2.44x while BENCH_r04 measured 2.9x). Design: the claim names its
+    artifact round inline ([artifact BENCH_rNN]); the numbers must
+    match THAT artifact within 5%, and the citation may lag the
+    newest artifact by at most one round — so a better measurement
+    landing right after a commit cannot flip the test mid-round, but
+    numbers can never rot more than one round behind."""
     text = open(os.path.join(REPO, "README.md")).read()
     m = re.search(r"\*\*(\d+\.\d+)M doc·pair/s \(L2\)\*\* / "
-                  r"(\d+\.\d+)M \(WLS\) — (\d+\.\d+)x / (\d+\.\d+)x",
-                  text)
-    assert m, "README no longer states the inversion throughput claim"
+                  r"(\d+\.\d+)M \(WLS\) — (\d+\.\d+)x / (\d+\.\d+)x"
+                  r".{0,200}?\[artifact BENCH_r(\d+)\]",
+                  text, re.DOTALL)
+    assert m, ("README no longer states the inversion throughput claim "
+               "with its [artifact BENCH_rNN] citation")
     l2_claim, wls_claim = float(m.group(1)) * 1e6, float(m.group(2)) * 1e6
     l2_mult, wls_mult = float(m.group(3)), float(m.group(4))
+    cited = int(m.group(5))
 
-    best = {"l2": 0.0, "wls": 0.0}
+    rounds = {}
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        rm = re.search(r"BENCH_r(\d+)\.json$", p)
         try:
             parsed = json.load(open(p)).get("parsed") or {}
         except (json.JSONDecodeError, AttributeError):
             continue
-        if (parsed.get("invert") or {}).get("px_ifg_per_s"):
-            best["l2"] = max(best["l2"], parsed["invert"]["px_ifg_per_s"])
-        if (parsed.get("invert_wls") or {}).get("px_ifg_per_s"):
-            best["wls"] = max(best["wls"],
-                              parsed["invert_wls"]["px_ifg_per_s"])
-    if not best["l2"]:
+        if rm and (parsed.get("invert") or {}).get("px_ifg_per_s"):
+            rounds[int(rm.group(1))] = parsed
+    if not rounds:
         return  # no bench artifact with an inversion datapoint yet
-    for claim, key in ((l2_claim, "l2"), (wls_claim, "wls")):
-        assert 0.90 * best[key] <= claim <= 1.05 * best[key], (
-            f"README {key} claim {claim:.3g} vs best artifact "
-            f"{best[key]:.3g}; regenerate the README numbers")
+    assert cited in rounds, f"cited BENCH_r{cited:02d} has no datapoint"
+    latest = max(rounds)
+    assert latest - cited <= 1, (
+        f"README cites BENCH_r{cited:02d} but BENCH_r{latest:02d} "
+        "exists — refresh the claim")
+    art = rounds[cited]
+    pairs = [(l2_claim, art["invert"]["px_ifg_per_s"])]
+    if art.get("invert_wls"):
+        pairs.append((wls_claim, art["invert_wls"]["px_ifg_per_s"]))
+    for claim, meas in pairs:
+        assert 0.95 * meas <= claim <= 1.05 * meas, (
+            f"README claim {claim:.3g} vs cited artifact {meas:.3g}")
     ref = 626_000  # the reference's published px·ifg/s (BASELINE.md)
     assert abs(l2_mult - l2_claim / ref) < 0.11
     assert abs(wls_mult - wls_claim / ref) < 0.11

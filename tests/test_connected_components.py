@@ -112,6 +112,35 @@ def test_star_on_real_minhash_pairs(spark):
     assert a == b
 
 
+def test_auto_small_graph_uses_driver_union_find(spark):
+    """auto below the edge threshold = exact driver union-find; above
+    it (threshold forced to 0) = the star rounds; identical labels."""
+    rng = np.random.RandomState(23)
+    n = 150
+    edges = [(f"a{min(a, b):04d}", f"a{max(a, b):04d}")
+             for a, b in rng.randint(0, n, size=(120, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "doc1 string, doc2 string")
+    exp = _uf_components(edges)
+    small = {r["node"]: r["comp"]
+             for r in connected_components(pairs,
+                                           algorithm="auto").collect()}
+    big = {r["node"]: r["comp"]
+           for r in connected_components(pairs, algorithm="auto",
+                                         driver_max_edges=0).collect()}
+    assert small == exp and big == exp
+
+
+def test_auto_long_path_converges(spark):
+    """auto must stay diameter-safe in both regimes."""
+    edges = [(f"z{i:02d}", f"z{i + 1:02d}") for i in range(40)]
+    pairs = spark.createDataFrame(edges, "doc1 string, doc2 string")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(pairs, max_iter=8,
+                                         algorithm="auto",
+                                         driver_max_edges=0).collect()}
+    assert len(got) == 41 and set(got.values()) == {"z00"}
+
+
 def test_unknown_algorithm_raises(spark):
     pairs = spark.createDataFrame([("a", "b")], "doc1 string, doc2 string")
     with pytest.raises(ValueError, match="unknown algorithm"):
