@@ -347,7 +347,6 @@ def ivf_build_index(spark, sf_dir, index_dir: str, n_cells: int = 16,
     post-scan filter (tests pin ``PartitionFilters`` in the plan).
     Returns the number of cells written."""
     import json
-    import os
 
     cents = fit_ivf_codebook(fit_dir or codebook_fit_dir(sf_dir),
                              n_cells, dim)
@@ -364,9 +363,12 @@ def ivf_build_index(spark, sf_dir, index_dir: str, n_cells: int = 16,
         .cast("long").alias("cell"))
     (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_dir}/vectors"))
-    os.makedirs(index_dir, exist_ok=True)
-    with open(f"{index_dir}/centroids.json", "w") as f:
-        json.dump(cents, f)
+    # centroids ride as a one-row text dataset THROUGH Spark, so the
+    # index works on any filesystem the session can write (posix,
+    # file:, hdfs://, s3a://) — a driver-side open() would be
+    # posix-only, the portability gap TierStore just closed
+    (spark.createDataFrame([(json.dumps(cents),)], "c string")
+     .coalesce(1).write.mode("overwrite").text(f"{index_dir}/centroids"))
     return n_cells
 
 
@@ -385,8 +387,8 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame,
 
     from pyspark.sql import Window
 
-    with open(f"{index_dir}/centroids.json") as f:
-        cents = json.load(f)
+    cents = json.loads(
+        spark.read.text(f"{index_dir}/centroids").collect()[0][0])
     qd = (queries.select(
         "qid", "qv",
         F.posexplode(_d2_array(F.col("qv"), cents)).alias("cell", "d2")))
