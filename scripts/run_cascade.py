@@ -119,6 +119,17 @@ def main(argv=None) -> int:
                          "append-only checkpoint log to its latest row "
                          "per (tier, bucket) — bounds the O(runs) "
                          "metadata scan of long-lived lifecycles")
+    ap.add_argument("--stream", action="store_true",
+                    help="replace the cascade step with Structured "
+                         "Streaming ingestion of --input (file source, "
+                         "availableNow drain): foreachBatch drives the "
+                         "batch 1h kernel per micro-batch plus the "
+                         "1h->1d leg; staging is hour-partitioned and "
+                         "aged by --staging-keep-hours")
+    ap.add_argument("--staging-keep-hours", type=int, default=48,
+                    help="streaming mode: age staged raw partitions "
+                         "this many hours behind the newest touched "
+                         "hour (must exceed the late-arrival horizon)")
     args = ap.parse_args(argv)
 
     steps = select_steps(args.steps, args.start, args.dostep)
@@ -133,7 +144,34 @@ def main(argv=None) -> int:
     metrics: dict = {"steps": steps}
     t0 = time.time()
 
-    if "cascade" in steps:
+    if args.stream and [s for s in steps if s != "cascade"]:
+        raise SystemExit(
+            "--stream is ingestion-only (it writes the *_stream "
+            "tiers); run invert/retention as separate invocations "
+            "against a batch warehouse")
+    if "cascade" in steps and args.stream:
+        if not args.input:
+            raise SystemExit("--stream needs --input (a parquet "
+                             "directory consumed as a file stream)")
+        from miaplpy_spark.streaming.rollup_stream import (STREAM_TIER,
+                                                           STREAM_TIER_1D,
+                                                           stream_rollup_1h)
+        schema = spark.read.parquet(args.input).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(args.input))
+        q = stream_rollup_1h(
+            prepare_observations(stream, cfg), store, cfg,
+            checkpoint_dir=args.warehouse.rstrip("/") + "/_stream_ckpt",
+            available_now=True, cascade_1d=True,
+            staging_keep_hours=args.staging_keep_hours)
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise SystemExit("stream drain exceeded 1 h")
+        metrics["stream"] = {
+            "rows_1h": store.read(spark, STREAM_TIER).count(),
+            "rows_1d": store.read(spark, STREAM_TIER_1D).count(),
+        }
+    elif "cascade" in steps:
         if args.input:
             raw = spark.read.parquet(args.input)
         else:

@@ -133,3 +133,39 @@ def test_invert_recomputes_after_in_place_change(spark, workdir, capsys):
     m2 = _run(capsys, ["--warehouse", workdir, "--scale", "tiny",
                       "--buckets", "4", "--dostep", "invert"])
     assert m2["invert"]["buckets_processed"] > 0, m2
+
+
+def test_stream_ingestion_mode(spark, workdir, capsys):
+    """--stream drives the Structured Streaming ingestion (availableNow
+    drain + 1h->1d leg) from the CLI; the streamed tiers must match
+    the batch kernels over the same input."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.config import EngineConfig, ScaleSpec
+    from miaplpy_spark.datagen import generate_sequences, prepare_observations
+    from miaplpy_spark.operators.rollup import rollup_1d, rollup_1h
+
+    cfg = EngineConfig(n_buckets=4, n_samples=8)
+    spec = ScaleSpec(n_docs=3, n_slots=40, tok_lo=8, tok_hi=16,
+                     tok_heavy_lo=24, tok_heavy_hi=32)
+    raw = generate_sequences(spark, spec, cfg)
+    src = os.path.join(workdir, "stream_in")
+    raw.repartition(3).write.parquet(src)
+
+    m = _run(capsys, ["--warehouse", os.path.join(workdir, "swh"),
+                      "--buckets", "4", "--steps", "cascade",
+                      "--stream", "--input", src])
+    obs = prepare_observations(spark.read.parquet(src), cfg)
+    t1h = rollup_1h(obs, cfg)
+    assert m["stream"]["rows_1h"] == t1h.count()
+    assert m["stream"]["rows_1d"] == rollup_1d(t1h, cfg).count()
+
+
+def test_stream_rejects_other_steps(spark, workdir, capsys):
+    import pytest
+
+    with pytest.raises(SystemExit, match="ingestion-only"):
+        main(["--warehouse", workdir, "--steps", "cascade,invert",
+              "--stream", "--input", workdir])
