@@ -219,6 +219,101 @@ def prepare_only(input_dir: str) -> None:
     spark.stop()
 
 
+def prepare_tier_only(tier_dir: str) -> None:
+    """Materialize the 1h tier the inversion-scaling mode measures
+    over (obs -> rollup_1h -> parquet, done once, not measured)."""
+    from miaplpy_spark.operators.rollup import attach_doc_dim, rollup_1h
+
+    spark = _get_spark(CPUS)
+    obs_dir = tier_dir + "_obs"
+    prepare_input(spark, obs_dir)
+    cfg, _ = _bench_cfg_spec()
+    attach_doc_dim(
+        rollup_1h(spark.read.parquet(obs_dir), cfg),
+        spark.read.parquet(obs_dir + "_dim")
+    ).write.mode("overwrite").parquet(tier_dir)
+    n = spark.read.parquet(tier_dir).count()
+    print(f"prepared {n} hourly tier rows at {tier_dir}", file=sys.stderr)
+    spark.stop()
+
+
+def invert_only(tier_dir: str, cores: int) -> None:
+    """One pinned measurement of the network-inversion job (the
+    headline vs-reference operator) — the inversion twin of
+    cascade_only for the two-parallelism scaling evidence."""
+    try:
+        os.sched_setaffinity(0, range(cores))
+    except (AttributeError, OSError):
+        pass
+    spark = _get_spark(cores)
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
+    run_invert_timed(spark, tier_dir, "L2")          # warmup
+    runs = [run_invert_timed(spark, tier_dir, "L2") for _ in range(n_runs)]
+    stats = min(runs, key=lambda r: r["t_total_s"])
+    stats["cores"] = cores
+    stats["all_totals_s"] = [r["t_total_s"] for r in runs]
+    print("INVERT_RESULT " + json.dumps(stats))
+    spark.stop()
+
+
+def scaling_invert(tier_dir: str | None = None) -> None:
+    """Two-parallelism scaling curve for the INVERSION operator
+    (appends a section to BENCH/BASELINE.md; the cascade curve from
+    --scaling is the primary north-rule evidence, this is the same
+    protocol applied to the vs-reference headline operator)."""
+    own_tmp = tier_dir is None
+    if own_tmp:
+        tier_dir = tempfile.mkdtemp(prefix="bench_tier_") + "/t1h"
+        subprocess.run(
+            [sys.executable, __file__, "--prepare-tier", tier_dir],
+            check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+    core_list = [int(c) for c in
+                 os.environ.get("BENCH_CORES", "8,32").split(",")]
+    results = {}
+    for rnd, cores in enumerate(core_list + core_list[::-1]):
+        out = subprocess.run(
+            [sys.executable, __file__, "--invert-only", tier_dir,
+             str(cores)],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__))
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("INVERT_RESULT ")]
+        if out.returncode != 0 or not lines:
+            print(f"round{rnd} local[{cores}] failed: {out.stderr[-500:]}",
+                  file=sys.stderr)
+            continue
+        r = json.loads(lines[-1][len("INVERT_RESULT "):])
+        if cores not in results or r["t_total_s"] < results[cores]["t_total_s"]:
+            results[cores] = r
+        print(f"round{rnd} local[{cores}]: {r}", file=sys.stderr)
+    lo, hi = min(core_list), max(core_list)
+    eff = round(results[hi]["px_ifg_per_s"]
+                / ((hi / lo) * results[lo]["px_ifg_per_s"]), 3)
+    report = {f"local{c}": results[c] for c in core_list}
+    report[f"invert_scaling_efficiency_{lo}_to_{hi}"] = eff
+    print(json.dumps(report))
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "BASELINE.md")
+    rows = "\n".join(
+        f"| local[{c}] | {r['t_total_s']} | {r['px_ifg_per_s']:,} "
+        f"| {r['px_ifg_per_s'] / c:,.0f} | {r.get('host_steal_pct')} |"
+        for c, r in ((c, results[c]) for c in core_list))
+    with open(md, "a") as f:
+        f.write(f"""
+## Inversion-operator scaling ({lo} vs {hi} cores, same protocol)
+
+Identical invert_network job (L2, conn=3, {results[lo]['n_pairs']:,}
+doc-pairs over {results[lo]['n_points']:,} hourly points) on the
+identical materialized 1h tier, pinned fresh JVMs, warmup +
+min-of-rounds:
+
+| cores | total (s) | doc-pair/s | per-core | host steal% |
+|---|---|---|---|---|
+{rows}
+
+**Inversion scaling efficiency {lo} -> {hi}: {eff}**
+""")
+
+
 def scaling(input_dir: str | None = None) -> None:
     own_tmp = input_dir is None
     if own_tmp:
@@ -437,9 +532,15 @@ def headline() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-invert":
+        scaling_invert(sys.argv[2] if len(sys.argv) > 2 else None)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cascade-only":
         cascade_only(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--invert-only":
+        invert_only(sys.argv[2], int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-only":
         prepare_only(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-tier":
+        prepare_tier_only(sys.argv[2])
     else:
         headline()
