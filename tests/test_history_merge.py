@@ -50,6 +50,52 @@ def test_splice_unit_semantics(spark):
     assert out["d"]["ts_series"] == pytest.approx([0., 1.])  # disjoint
 
 
+def test_splice_randomized_against_python_model(spark):
+    """40 random coverage/overlap shapes in one DataFrame pair vs a
+    pure-Python model of the documented semantics (head below the new
+    window start, datum offset at the first common hour, disjoint ->
+    new, old-only carry)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    old_rows, new_rows, expect = [], [], {}
+    for i in range(40):
+        doc = f"r{i:03d}"
+        o_hours = sorted(rng.choice(40, size=rng.randint(2, 20),
+                                    replace=False).tolist())
+        o_ts = [float(round(x, 3)) for x in rng.randn(len(o_hours))]
+        has_new = i % 5 != 0
+        old_rows.append((doc, "web", 0, len(o_hours), o_hours, o_ts, 0.5))
+        if not has_new:
+            expect[doc] = (o_hours, [round(v, 4) for v in o_ts])
+            continue
+        n_hours = sorted(rng.choice(60, size=rng.randint(2, 20),
+                                    replace=False).tolist())
+        n_ts = [float(round(x, 3)) for x in rng.randn(len(n_hours))]
+        new_rows.append((doc, "web", 0, len(n_hours), n_hours, n_ts, 0.9))
+        common = sorted(set(o_hours) & set(n_hours))
+        if not common:
+            expect[doc] = (n_hours, [round(v, 4) for v in n_ts])
+            continue
+        anchor = common[0]
+        off = (o_ts[o_hours.index(anchor)] - n_ts[n_hours.index(anchor)])
+        head = [(h, v) for h, v in zip(o_hours, o_ts) if h < n_hours[0]]
+        hours = [h for h, _ in head] + n_hours
+        ts = ([round(v, 4) for _, v in head]
+              + [round(np.float32(v + off).item(), 4) for v in n_ts])
+        expect[doc] = (hours, ts)
+    old = _df(spark, old_rows)
+    new = _df(spark, new_rows)
+    got = {r["doc_id"]: r for r in
+           merge_timeseries_history(old, new).collect()}
+    assert sorted(got) == sorted(expect)
+    for doc, (hours, ts) in expect.items():
+        assert got[doc]["hours"] == hours, doc
+        assert [round(v, 4) for v in got[doc]["ts_series"]] \
+            == pytest.approx(ts, abs=2e-4), doc
+        assert got[doc]["n_hours"] == len(hours), doc
+
+
 def test_splice_under_wide_doc_key(spark):
     """The splice join honors the 128-bit key doctrine: identical
     results with wide_doc_key on (doc_key + doc_key2 join keys)."""
