@@ -412,6 +412,26 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame,
                     F.col("rk").cast("long").alias("rk")))
 
 
+def embedding_dedup_keep_list(spark, sf_dir, threshold: float = 0.95,
+                              use_lsh: bool = True) -> DataFrame:
+    """Embedding-space dedup decision: cosine near-dup pairs (LSH-
+    bucketed scale path by default, label-blocked exact baseline
+    otherwise) collapsed to connected components with a TOTAL
+    keep/drop labeling over the vector spine — the same
+    pairs -> components -> canonical-keep composition the text
+    families end in (dedup.dedup_keep_list), closing the loop for the
+    embedding family. Returns (doc_id=vec_id, comp, keep)."""
+    from .dedup import dedup_keep_list
+
+    pairs = (lsh_near_dup_pairs(spark, sf_dir, threshold=threshold)
+             if use_lsh else
+             cosine_near_dup_pairs(spark, sf_dir, threshold=threshold))
+    spine = _emb(spark, sf_dir).select("vec_id")
+    return dedup_keep_list(pairs, id1="id1", id2="id2",
+                           doc_spine=spine, spine_col="vec_id",
+                           algorithm="auto")
+
+
 def label_centroids(spark, sf_dir) -> DataFrame:
     """Per-label centroid of the first 4 dimensions (array aggregation
     check shared with the DuckDB oracle)."""

@@ -142,6 +142,54 @@ def fingerprint_dups(spark, sf_dir) -> DataFrame:
                  (F.count("*") - F.count_distinct("fp")).alias("n_dups")))
 
 
+def repetition_signals(spark, sf_dir, top_ngram: int = 2) -> DataFrame:
+    """Within-document repetition signals — the Gopher-style quality
+    filters (Rae et al. 2021, "Scaling Language Models", table A1)
+    a pretraining pipeline applies beside stopword/TTR gates:
+
+      dup_word_frac     fraction of word occurrences beyond each
+                        word's first occurrence (1 - distinct/total)
+      top_word_frac     occurrences of the single most frequent word
+                        / total words
+      top_ngram_frac    words covered by the most frequent
+                        ``top_ngram``-gram (count x n / total)
+
+    All JVM-side: one explode to word rows, n-gram assembly via
+    slide-by-index transform, two groupBy aggregations on doc_id with
+    map-side partials — same plan family as text_quality, so the 100
+    TB shape is one doc-keyed exchange per aggregate. Repetitive docs
+    (boilerplate, templated spam, generation loops) score high and
+    are prime drop candidates."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    words = ws.select("doc_id", F.explode("ws").alias("w"))
+    wc = (words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+          .groupBy("doc_id")
+          .agg(F.sum("c").alias("n_words"),
+               F.count("*").alias("n_distinct"),
+               F.max("c").alias("top_word_c")))
+    grams = ws.select(
+        "doc_id", F.size("ws").alias("n_words_g"),
+        F.explode(F.transform(
+            F.slice("ws", 1, F.greatest(F.size("ws") - (top_ngram - 1),
+                                        F.lit(0))),
+            lambda x, i: F.array_join(
+                F.slice("ws", i + 1, top_ngram), " "))).alias("g"))
+    gc = (grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+          .groupBy("doc_id").agg(F.max("c").alias("top_gram_c")))
+    return (wc.join(gc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_words").cast("long").alias("n_words"),
+                F.round(1 - F.col("n_distinct") / F.col("n_words"), 6)
+                 .alias("dup_word_frac"),
+                F.round(F.col("top_word_c") / F.col("n_words"), 6)
+                 .alias("top_word_frac"),
+                F.round(F.coalesce("top_gram_c", F.lit(0))
+                        * top_ngram / F.col("n_words"), 6)
+                 .alias("top_ngram_frac")))
+
+
 def winnow_fingerprints(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     the MOSS local fingerprinting algorithm): hash every k-gram, slide
