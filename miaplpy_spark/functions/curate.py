@@ -76,6 +76,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
     Exact dedup outranks near-dup (a byte copy is also a near-dup;
     report the stronger finding); both outrank the quality gates so
     dedup statistics stay comparable across quality-threshold sweeps.
+    text.repetition_signals (Gopher-style boilerplate filters) is the
+    natural next gate to fold in when a driver-cap slot frees — its
+    thresholds sit between too_short and low_quality in priority.
 
     The near-dup leg uses the SPINE-TOTAL keep list
     (dedup_keep_list(doc_spine=...)): every doc gets exactly one
