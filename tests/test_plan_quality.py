@@ -153,3 +153,17 @@ def test_shingle_cap_reuses_inverted_index_exchange(spark):
     # shingles agg + sizes agg + freq agg + self join + final joins:
     # bounded small constant, and critically not O(shingle width)
     assert count_exchanges(q) <= 11
+
+
+def test_repetition_signals_plan_shape(spark):
+    """Two aggregate chains (words, 2-grams), each with map-side
+    partials = 4 exchanges; the final doc-keyed join reuses both
+    sides' aggregate partitioning (no 5th exchange), and never
+    shuffle-joins on a string."""
+    from miaplpy_spark.functions.text import repetition_signals
+    from miaplpy_spark.plans.explain import plan_string
+
+    df = repetition_signals(spark, SF)
+    assert count_exchanges(df) <= 4
+    assert "SortMergeJoin [doc_id" not in plan_string(df, "simple") or \
+        "string" not in str(df.schema["doc_id"].dataType)
