@@ -648,18 +648,26 @@ def _q42_sql(n_queries: int = 20, k: int = 5, n_cells: int = 16,
 
 
 def _q52_sql(min_words: int = 5, max_stop: float = 0.9,
-             min_ttr: float = 0.2, threshold: float = 0.35) -> str:
+             min_ttr: float = 0.2, threshold: float = 0.35,
+             max_dup: float = 0.7, max_topw: float = 0.2,
+             max_topg: float = 0.2) -> str:
     """DuckDB twin of curate.curate_corpus: the q19 quality scalars,
     the q21 exact-fingerprint keep-first-by-id, the q26 MinHash-LSH
     pairs collapsed to connected components by a recursive CTE
     (min-label closure over the symmetric edge list — the same
-    fixpoint dedup.connected_components iterates), and the identical
-    priority CASE. Reuses _q26_sql verbatim for the pair leg so the
-    two certifications can never diverge."""
+    fixpoint dedup.connected_components iterates), the Gopher-style
+    repetition signals (word counts + 2-gram assembly via list
+    lambdas, same rounding as text.repetition_signals), and the
+    identical priority CASE. Reuses _q26_sql verbatim for the pair
+    leg so the two certifications can never diverge."""
     case = f"""CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
                     WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
                     WHEN COALESCE(q.n_words, 0) < {min_words}
                          THEN 'too_short'
+                    WHEN r.dup_word_frac > {max_dup}
+                         OR r.top_word_frac > {max_topw}
+                         OR r.top_ngram_frac > {max_topg}
+                         THEN 'repetitive'
                     WHEN q.stopword_ratio > {max_stop}
                          OR q.ttr < {min_ttr} THEN 'low_quality'
                     ELSE 'kept' END"""
@@ -678,6 +686,27 @@ def _q52_sql(min_words: int = 5, max_stop: float = 0.9,
                      round(n_distinct * 1.0 / n_words, 6) AS ttr,
                      round(n_stop * 1.0 / n_words, 6) AS stopword_ratio
               FROM qa),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        topw AS (SELECT doc_id, max(c) AS top_word_c FROM wc GROUP BY 1),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(l) - 1),
+                         i -> l[i] || ' ' || l[i + 1])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS l
+                    FROM documents)
+              WHERE len(l) >= 2),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        topg AS (SELECT doc_id, max(c) AS top_gram_c FROM gc GROUP BY 1),
+        rep AS (SELECT qa.doc_id,
+                       round(1 - qa.n_distinct * 1.0 / qa.n_words, 6)
+                           AS dup_word_frac,
+                       round(tw.top_word_c * 1.0 / qa.n_words, 6)
+                           AS top_word_frac,
+                       round(COALESCE(tg.top_gram_c, 0) * 2.0
+                             / qa.n_words, 6) AS top_ngram_frac
+                FROM qa
+                JOIN topw tw ON qa.doc_id = tw.doc_id
+                LEFT JOIN topg tg ON qa.doc_id = tg.doc_id),
         ex AS (SELECT doc_id FROM (
                    SELECT doc_id,
                           min(doc_id) OVER (PARTITION BY md5(lower(text)))
@@ -700,7 +729,8 @@ def _q52_sql(min_words: int = 5, max_stop: float = 0.9,
                 FROM documents d
                 LEFT JOIN q ON d.doc_id = q.doc_id
                 LEFT JOIN ex ON d.doc_id = ex.doc_id
-                LEFT JOIN nl ON d.doc_id = nl.doc_id)
+                LEFT JOIN nl ON d.doc_id = nl.doc_id
+                LEFT JOIN rep r ON d.doc_id = r.doc_id)
         SELECT doc_id, lang, n_words, reason,
                reason = 'kept' AS keep
         FROM dec

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..config import DOC_KEY2_SALT, EngineConfig
 from .dedup import dedup_keep_list, minhash_lsh_pairs
-from .text import _docs, exact_fingerprint, text_quality
+from .text import _docs, exact_fingerprint, repetition_signals, text_quality
 
 
 def _key_cols(cfg: EngineConfig) -> list[str]:
@@ -62,6 +62,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
                   min_words: int = 5, max_stopword_ratio: float = 0.9,
                   min_ttr: float = 0.2,
                   near_dup_threshold: float = 0.35,
+                  max_dup_word_frac: float = 0.7,
+                  max_top_word_frac: float = 0.2,
+                  max_top_ngram_frac: float = 0.2,
                   cfg: EngineConfig = EngineConfig()) -> DataFrame:
     """Per-document curation decision (doc_id, lang, n_words, keep,
     reason). Reasons, in priority order:
@@ -70,15 +73,20 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
       near_dup    MinHash-LSH component member that is not the
                   component's canonical (minimum-id) doc
       too_short   fewer than ``min_words`` whitespace tokens
+      repetitive  Gopher-style within-doc repetition (Rae et al. 2021
+                  table A1): duplicate-word fraction, top-word
+                  fraction, or top-2-gram fraction above threshold —
+                  boilerplate, templated spam, generation loops
       low_quality stopword ratio or type/token ratio outside bounds
       kept        survives everything
 
     Exact dedup outranks near-dup (a byte copy is also a near-dup;
     report the stronger finding); both outrank the quality gates so
     dedup statistics stay comparable across quality-threshold sweeps.
-    text.repetition_signals (Gopher-style boilerplate filters) is the
-    natural next gate to fold in when a driver-cap slot frees — its
-    thresholds sit between too_short and low_quality in priority.
+    Repetition sits between too_short and low_quality: a degenerate
+    looping doc is a stronger (more specific) drop signal than a
+    merely skewed stopword/TTR profile, and Gopher applies its
+    repetition filters before the heuristic quality rules.
 
     The near-dup leg uses the SPINE-TOTAL keep list
     (dedup_keep_list(doc_spine=...)): every doc gets exactly one
@@ -112,16 +120,25 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
                         # bound blows up on the sf0.1 graph's chains
                         algorithm="auto")
         .select("doc_id", F.col("keep").alias("near_keep")), cfg)
+    rep = _with_keys(
+        repetition_signals(spark, sf_dir)
+        .select("doc_id", "dup_word_frac", "top_word_frac",
+                "top_ngram_frac"), cfg)
 
     out = (spine
            .join(q, keys, "left")
            .join(exact, keys, "left")
-           .join(near, keys, "left"))
+           .join(near, keys, "left")
+           .join(rep, keys, "left"))
     reason = (
         F.when(F.col("is_exact"), F.lit("exact_dup"))
          .when(~F.col("near_keep"), F.lit("near_dup"))
          .when(F.coalesce("n_words", F.lit(0)) < min_words,
                F.lit("too_short"))
+         .when((F.col("dup_word_frac") > max_dup_word_frac)
+               | (F.col("top_word_frac") > max_top_word_frac)
+               | (F.col("top_ngram_frac") > max_top_ngram_frac),
+               F.lit("repetitive"))
          .when((F.col("stopword_ratio") > max_stopword_ratio)
                | (F.col("ttr") < min_ttr), F.lit("low_quality"))
          .otherwise(F.lit("kept")))

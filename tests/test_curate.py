@@ -5,7 +5,7 @@ import pyspark.sql.functions as F
 
 from miaplpy_spark.functions.curate import curate_corpus, exact_dup_losers
 from miaplpy_spark.functions.dedup import dedup_keep_list, minhash_lsh_pairs
-from miaplpy_spark.functions.text import text_quality
+from miaplpy_spark.functions.text import repetition_signals, text_quality
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -27,6 +27,8 @@ def test_reasons_match_component_operators(spark):
             dedup_keep_list(minhash_lsh_pairs(spark, SF_DIR))
             .where(~F.col("keep")).collect()}
     q = {r["doc_id"]: r for r in text_quality(spark, SF_DIR).collect()}
+    rep = {r["doc_id"]: r for r in
+           repetition_signals(spark, SF_DIR).collect()}
     for doc, reason in out.items():
         if doc in exact:
             assert reason == "exact_dup", doc
@@ -34,6 +36,10 @@ def test_reasons_match_component_operators(spark):
             assert reason == "near_dup", doc
         elif q[doc]["n_words"] < 5:
             assert reason == "too_short", doc
+        elif (rep[doc]["dup_word_frac"] > 0.7
+              or rep[doc]["top_word_frac"] > 0.2
+              or rep[doc]["top_ngram_frac"] > 0.2):
+            assert reason == "repetitive", doc
         elif q[doc]["stopword_ratio"] > 0.9 or q[doc]["ttr"] < 0.2:
             assert reason == "low_quality", doc
         else:
@@ -71,7 +77,30 @@ def test_assembly_shuffles_on_doc_key(spark):
     assert "SortMergeJoin [doc_id" not in plan
     assert "ShuffledHashJoin [doc_id" not in plan
     joins_on_key = plan.count("Join [doc_key")  # SortMerge or Broadcast
-    assert joins_on_key >= 3, plan[:2000]
+    assert joins_on_key >= 4, plan[:2000]
+
+
+def test_repetitive_gate_fires_with_priority(spark, tmp_path):
+    """A planted boilerplate doc (one bigram repeated 100x) must be
+    dropped as `repetitive`, not `low_quality` — its TTR is also
+    pathological (2 distinct words), so this pins the when-chain
+    ordering; a planted 3-word loop must fall to `too_short` first."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.orderBy("doc_id").limit(1)
+    loop = base.withColumn("doc_id", F.col("doc_id") + 10 ** 9) \
+        .withColumn("text", F.concat_ws(
+            " ", F.array_repeat(F.lit("free tokens"), 100)))
+    short = base.withColumn("doc_id", F.col("doc_id") + 2 * 10 ** 9) \
+        .withColumn("text", F.lit("buy buy buy"))
+    corpus = str(tmp_path / "c")
+    docs.unionByName(loop).unionByName(short).write.parquet(
+        f"{corpus}/documents.parquet")
+    decided = {r["doc_id"]: r["reason"]
+               for r in curate_corpus(spark, corpus).collect()}
+    loop_id = [d for d in decided if 10 ** 9 <= d < 2 * 10 ** 9][0]
+    short_id = [d for d in decided if d >= 2 * 10 ** 9][0]
+    assert decided[loop_id] == "repetitive"
+    assert decided[short_id] == "too_short"
 
 
 def test_priority_exact_over_near(spark, tmp_path):
