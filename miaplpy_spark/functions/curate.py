@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..config import DOC_KEY2_SALT, EngineConfig
 from .dedup import dedup_keep_list, minhash_lsh_pairs
-from .text import _docs, exact_fingerprint, repetition_signals, text_quality
+from .text import _docs, exact_fingerprint, word_gate_stats
 
 
 def _key_cols(cfg: EngineConfig) -> list[str]:
@@ -101,7 +101,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
             "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id")))
     keys = _key_cols(cfg)
 
-    q = _with_keys(text_quality(spark, sf_dir), cfg)
+    # one fused leg for BOTH the quality scalars and the repetition
+    # signals: at 100 TB separate text_quality/repetition_signals legs
+    # would scan + explode the text column twice; word_gate_stats
+    # derives both gate families from one (doc, word) aggregation and
+    # is bit-identical to the standalone certified operators
+    gates = _with_keys(word_gate_stats(spark, sf_dir), cfg)
     exact = _with_keys(
         exact_dup_losers(spark, sf_dir)
         .withColumn("is_exact", F.lit(True))
@@ -120,16 +125,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
                         # bound blows up on the sf0.1 graph's chains
                         algorithm="auto")
         .select("doc_id", F.col("keep").alias("near_keep")), cfg)
-    rep = _with_keys(
-        repetition_signals(spark, sf_dir)
-        .select("doc_id", "dup_word_frac", "top_word_frac",
-                "top_ngram_frac"), cfg)
 
     out = (spine
-           .join(q, keys, "left")
+           .join(gates, keys, "left")
            .join(exact, keys, "left")
-           .join(near, keys, "left")
-           .join(rep, keys, "left"))
+           .join(near, keys, "left"))
     reason = (
         F.when(F.col("is_exact"), F.lit("exact_dup"))
          .when(~F.col("near_keep"), F.lit("near_dup"))

@@ -190,6 +190,59 @@ def repetition_signals(spark, sf_dir, top_ngram: int = 2) -> DataFrame:
                  .alias("top_ngram_frac")))
 
 
+def word_gate_stats(spark, sf_dir, top_ngram: int = 2) -> DataFrame:
+    """Fused single-pass twin of ``text_quality`` +
+    ``repetition_signals``, producing exactly the columns the
+    curation gates consume: n_words, ttr, stopword_ratio,
+    dup_word_frac, top_word_frac, top_ngram_frac.
+
+    Why it exists: ``curate_corpus`` needs BOTH the quality scalars
+    and the repetition signals, and run as separate legs they scan
+    the full text column twice and explode it to word rows twice —
+    at 100 TB the text column is the corpus, so that second scan is
+    a second pass over ~everything. Every quality scalar is
+    derivable from the per-(doc, word) counts the repetition leg
+    already aggregates (n_words = sum(c), n_distinct = count(*),
+    n_stop = sum(c where stopword)), so one explode + one
+    (doc, word) aggregation feeds both gates; only the n-gram leg
+    needs its own explode (different row domain). All numerators and
+    denominators are exact integers aggregated before a single
+    rounded division, so the outputs are bit-identical to the
+    standalone certified operators (pinned by
+    tests/test_curate.py::test_fused_gate_stats_match_components).
+    """
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    wc = (ws.select("doc_id", F.explode("ws").alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("w").isin(*STOPWORDS), F.col("c"))
+              .otherwise(0)).cast("long").alias("n_stop"),
+        F.max("c").alias("top_word_c"))
+    grams = ws.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.slice("ws", 1, F.greatest(F.size("ws") - (top_ngram - 1),
+                                        F.lit(0))),
+            lambda x, i: F.array_join(
+                F.slice("ws", i + 1, top_ngram), " "))).alias("g"))
+    gc = (grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+          .groupBy("doc_id").agg(F.max("c").alias("top_gram_c")))
+    n = F.col("n_words")
+    return (stats.join(gc, "doc_id", "left")
+            .select(
+                "doc_id", "n_words",
+                F.round(F.col("n_distinct") / n, 6).alias("ttr"),
+                F.round(F.col("n_stop") / n, 6).alias("stopword_ratio"),
+                F.round(1 - F.col("n_distinct") / n, 6)
+                 .alias("dup_word_frac"),
+                F.round(F.col("top_word_c") / n, 6).alias("top_word_frac"),
+                F.round(F.coalesce("top_gram_c", F.lit(0)) * top_ngram / n,
+                        6).alias("top_ngram_frac")))
+
+
 def winnow_fingerprints(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     the MOSS local fingerprinting algorithm): hash every k-gram, slide

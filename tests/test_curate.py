@@ -77,7 +77,31 @@ def test_assembly_shuffles_on_doc_key(spark):
     assert "SortMergeJoin [doc_id" not in plan
     assert "ShuffledHashJoin [doc_id" not in plan
     joins_on_key = plan.count("Join [doc_key")  # SortMerge or Broadcast
-    assert joins_on_key >= 4, plan[:2000]
+    assert joins_on_key >= 3, plan[:2000]
+    # the quality + repetition gates must ride ONE fused leg — a
+    # fourth doc_key join would mean a second full text scan
+    assert joins_on_key == 3, plan[:2000]
+
+
+def test_fused_gate_stats_match_components(spark):
+    """word_gate_stats must be bit-identical to the standalone
+    certified operators it fuses (text_quality q19 +
+    repetition_signals) on every shared column."""
+    from miaplpy_spark.functions.text import word_gate_stats
+
+    fused = {r["doc_id"]: r
+             for r in word_gate_stats(spark, SF_DIR).collect()}
+    q = {r["doc_id"]: r for r in text_quality(spark, SF_DIR).collect()}
+    rep = {r["doc_id"]: r for r in
+           repetition_signals(spark, SF_DIR).collect()}
+    assert set(fused) == set(q) == set(rep)
+    for doc, f in fused.items():
+        assert f["n_words"] == q[doc]["n_words"] == rep[doc]["n_words"]
+        assert f["ttr"] == q[doc]["ttr"]
+        assert f["stopword_ratio"] == q[doc]["stopword_ratio"]
+        assert f["dup_word_frac"] == rep[doc]["dup_word_frac"]
+        assert f["top_word_frac"] == rep[doc]["top_word_frac"]
+        assert f["top_ngram_frac"] == rep[doc]["top_ngram_frac"]
 
 
 def test_repetitive_gate_fires_with_priority(spark, tmp_path):
