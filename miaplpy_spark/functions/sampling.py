@@ -1,0 +1,125 @@
+"""Corpus-level sampling and split operators for the training-data
+pipeline: deterministic source-mixture sampling to a token budget and
+a leakage-safe train/validation split.
+
+These are the two decisions a pretraining run makes AFTER curation:
+how much of each source to take (mixture weights), and how to carve
+out held-out data without contamination (near-duplicates of a
+validation doc must not appear in train — Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better", showed
+test-set leakage via near-dups inflates eval).
+
+100 TB shape: mixture sampling is one per-source aggregate (a
+handful of rows) broadcast back as a literal CASE over a narrow
+deterministic-hash filter — no shuffle of the corpus at all; the
+split assigns by the near-dup COMPONENT canon (the keep-list's
+canonical doc), so every doc in a duplicate cluster lands on the
+same side, at the cost only of the already-computed component join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import dedup_keep_list, minhash_lsh_pairs
+from .text import _docs
+
+# Deterministic per-doc uniform in [0, 1): a splitmix-style integer
+# mix of doc_id, reduced mod 2^20. Pure int64 arithmetic (no float
+# rounding, no engine-specific hash) so an external system — or a
+# DuckDB oracle — reproduces the exact sample from doc_id alone.
+_MIX_MULT = 0x9E3779B1  # 2654435761, Knuth multiplicative constant
+_MIX_MOD = 1 << 20
+
+
+def sample_unit(id_col="doc_id") -> F.Column:
+    """u(doc) in [0, 1): ((doc_id * 2654435761) mod 2^20) / 2^20."""
+    return (F.pmod(F.col(id_col).cast("long") * F.lit(_MIX_MULT),
+                   F.lit(_MIX_MOD)) / F.lit(float(_MIX_MOD)))
+
+
+def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc and whitespace-token totals — the table the
+    mixture solver reads (rows = number of sources, tiny)."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.size(F.split("text", " "))).cast("long")
+                  .alias("n_tokens")))
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str,
+                   weights: dict[str, float],
+                   token_budget: int) -> DataFrame:
+    """Deterministic source-mixture sample: pick docs so each source
+    contributes ~``weights[source] * token_budget`` whitespace tokens
+    (weights are normalized over the sources present). Per source the
+    keep probability is min(1, target_tokens / available_tokens) and
+    a doc is kept iff ``sample_unit(doc_id) < p`` — a pure function
+    of doc_id, so the sample is stable across runs, engines, and
+    cluster sizes, and adding new docs never flips the decision for
+    an existing doc (the property reservoir sampling lacks).
+
+    Plan: one per-source aggregate (rows = |sources|) collected to
+    the driver, folded into a literal CASE — the corpus-scale pass is
+    a single narrow filter over the scan, zero shuffles. Sources not
+    named in ``weights`` get weight 0 (dropped).
+
+    Returns (doc_id, source, n_tokens, keep).
+    """
+    totals = {r["source"]: r["n_tokens"]
+              for r in source_token_totals(spark, sf_dir).collect()}
+    wsum = sum(weights.get(s, 0.0) for s in totals)
+    if wsum <= 0:
+        raise ValueError(
+            f"no positive weight for any present source {sorted(totals)}")
+    probs = {}
+    for s, avail in totals.items():
+        target = weights.get(s, 0.0) / wsum * token_budget
+        probs[s] = min(1.0, target / avail) if avail else 0.0
+
+    p_col = None
+    for s in sorted(probs):
+        cond = F.col("source") == s
+        p_col = (F.when(cond, F.lit(probs[s])) if p_col is None
+                 else p_col.when(cond, F.lit(probs[s])))
+    p_col = p_col.otherwise(F.lit(0.0))
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (sample_unit() < p_col).alias("keep"))
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str,
+                       val_frac: float = 0.1,
+                       near_dup_threshold: float = 0.35) -> DataFrame:
+    """Train/validation split that cannot leak through duplicates:
+    the split is decided by ``sample_unit`` of the doc's near-dup
+    COMPONENT CANONICAL id (the minimum doc_id of its MinHash-LSH
+    connected component, singletons being their own canonical), so
+    every member of a duplicate cluster lands on the same side. A
+    doc-level split would put near-copies of validation docs in
+    train and silently inflate eval.
+
+    Plan: the pair graph -> components -> spine-total keep list is
+    the already-certified dedup composition; the only addition is
+    one narrow map (unit hash of the canonical) — no new corpus
+    shuffle. Returns (doc_id, canon_id, split).
+    """
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+    spine = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir,
+                              verify_threshold=near_dup_threshold)
+    labeled = dedup_keep_list(pairs, doc_spine=spine, algorithm="auto")
+    # `comp` IS the component's canonical (minimum) doc id — both
+    # label-propagation modes converge to the component minimum, and
+    # spine singletons come back as comp = own doc_id
+    return labeled.select(
+        "doc_id",
+        F.col("comp").cast("long").alias("canon_id"),
+        F.when(sample_unit("comp") < F.lit(val_frac), "val")
+         .otherwise("train").alias("split"))

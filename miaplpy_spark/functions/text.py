@@ -243,6 +243,46 @@ def word_gate_stats(spark, sf_dir, top_ngram: int = 2) -> DataFrame:
                         6).alias("top_ngram_frac")))
 
 
+def self_information_score(spark, sf_dir) -> DataFrame:
+    """Corpus-model quality score — the unigram reduction of CCNet's
+    LM-perplexity filter (Wenzek et al. 2020): per document, the mean
+    self-information of its tokens under the corpus's own unigram
+    distribution, in bits/token:
+
+        score(d) = -(1/|d|) * sum over tokens t of log2(c_t / N)
+
+    Low scores = common-word/boilerplate-heavy docs, high scores =
+    rare-token noise; a pretraining pipeline drops both tails. Using
+    the corpus itself as the model keeps the operator self-contained
+    (no external LM), which is exactly how CCNet buckets head/middle/
+    tail quality per snapshot.
+
+    Plan at 100 TB: per-(doc, word) counts first (map-side partials),
+    so the model join touches each doc's DISTINCT words rather than
+    every occurrence; the unigram model is one further groupBy on the
+    word key (vocab-sized — orders smaller than the corpus); the
+    corpus total rides a broadcast one-row cross join (no driver
+    action); the scoring join shuffles wc and the model on the same
+    word key, so the exchange is reused. Returns
+    (doc_id, n_words, bits_per_token)."""
+    d = _docs(spark, sf_dir)
+    wc = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    model = wc.groupBy("w").agg(F.sum("c").alias("cw"))
+    total = model.agg(F.sum("cw").alias("n_total"))
+    scored = (wc.join(model, "w")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.sum("c").cast("long").alias("n_words"),
+                   F.sum(F.col("c") * -F.log2(F.col("cw")
+                                              / F.col("n_total")))
+                    .alias("bits")))
+    return scored.select(
+        "doc_id", "n_words",
+        F.round(F.col("bits") / F.col("n_words"), 6)
+         .alias("bits_per_token"))
+
+
 def winnow_fingerprints(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     the MOSS local fingerprinting algorithm): hash every k-gram, slide
