@@ -56,18 +56,12 @@ def pack_bucket(id_col: str = "doc_id",
     return F.pmod(mix, F.lit(n_buckets))
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str,
-                   seq_len: int = 2048,
-                   n_buckets: int = N_BUCKETS) -> DataFrame:
-    """Per-document packing assignment: (doc_id, bucket, n_tok,
-    tok_start, tok_end, chunk_first, chunk_last, n_chunks) where
-    [tok_start, tok_end) is the doc's span in the global concatenated
-    token stream and chunk_* are the ``seq_len``-sized training
-    sequences it occupies (a doc crossing a cut boundary spans >1)."""
-    d = (_docs(spark, sf_dir)
-         .select("doc_id",
-                 F.size(F.split("text", " ")).cast("long").alias("n_tok"))
-         .withColumn("bucket", pack_bucket("doc_id", n_buckets)))
+def pack_spans(d: DataFrame, seq_len: int = 2048,
+               n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Two-phase span assignment over any (doc_id, n_tok [, extra
+    cols]) DataFrame: adds (bucket, tok_start, tok_end, chunk_first,
+    chunk_last, n_chunks); extra columns ride through untouched."""
+    d = d.withColumn("bucket", pack_bucket("doc_id", n_buckets))
     within = Window.partitionBy("bucket").orderBy("doc_id")
     ends = d.withColumn("within_end", F.sum("n_tok").over(within))
     totals = d.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
@@ -77,13 +71,71 @@ def pack_sequences(spark: SparkSession, sf_dir: str,
         (F.sum("btot").over(over_buckets) - F.col("btot")).alias("base"))
     packed = (ends.join(F.broadcast(bases), "bucket")
               .withColumn("tok_end", F.col("base") + F.col("within_end"))
-              .withColumn("tok_start", F.col("tok_end") - F.col("n_tok")))
-    return packed.select(
+              .withColumn("tok_start", F.col("tok_end") - F.col("n_tok"))
+              .drop("within_end", "base"))
+    return (packed
+            .withColumn("chunk_first",
+                        F.floor(F.col("tok_start") / seq_len))
+            .withColumn("chunk_last",
+                        F.floor((F.col("tok_end") - 1) / seq_len))
+            .withColumn("n_chunks",
+                        F.col("chunk_last") - F.col("chunk_first") + 1))
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   seq_len: int = 2048,
+                   n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Per-document packing assignment over the documents table:
+    (doc_id, bucket, n_tok, tok_start, tok_end, chunk_first,
+    chunk_last, n_chunks) where [tok_start, tok_end) is the doc's
+    span in the global concatenated token stream and chunk_* are the
+    ``seq_len``-sized training sequences it occupies (a doc crossing
+    a cut boundary spans >1)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    return pack_spans(d, seq_len, n_buckets).select(
         "doc_id", "bucket", "n_tok", "tok_start", "tok_end",
-        F.floor(F.col("tok_start") / seq_len).alias("chunk_first"),
-        F.floor((F.col("tok_end") - 1) / seq_len).alias("chunk_last"),
-    ).withColumn(
-        "n_chunks", F.col("chunk_last") - F.col("chunk_first") + 1)
+        "chunk_first", "chunk_last", "n_chunks")
+
+
+def pack_chunks(seqs: DataFrame, seq_len: int = 2048,
+                n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Materialize the actual training sequences from a (doc_id,
+    tokens array<int> [, ...]) DataFrame — the engine's sequences
+    table shape: (chunk_id, n_tok, tokens) where every chunk except
+    the last has exactly ``seq_len`` tokens and concatenating chunks
+    in chunk_id order reproduces the packed token stream exactly
+    (per-row token-array equality against the input is what the tests
+    pin).
+
+    Plan: span math as above (one corpus shuffle), then each doc emits
+    one SLICE of its token array per chunk it spans (explode over the
+    chunk range — almost always 1-2 rows per doc) and the slices
+    reassemble with ONE further shuffle keyed on chunk_id
+    (sort_array(collect_list(struct(tok_start, slice))) + flatten, so
+    the within-chunk order never depends on task arrival). Docs with
+    empty token arrays are dropped (they occupy no span)."""
+    d = (seqs.select("doc_id", "tokens")
+         .withColumn("n_tok", F.size("tokens").cast("long"))
+         .filter(F.col("n_tok") > 0))
+    spans = pack_spans(d, seq_len, n_buckets)
+    piece = spans.select(
+        "tokens", "tok_start", "tok_end",
+        F.explode(F.sequence("chunk_first", "chunk_last"))
+         .alias("chunk_id"))
+    lo = F.greatest(F.col("chunk_id") * seq_len, F.col("tok_start"))
+    hi = F.least((F.col("chunk_id") + 1) * seq_len, F.col("tok_end"))
+    sliced = piece.select(
+        "chunk_id",
+        F.struct(
+            lo.alias("at"),
+            F.slice("tokens", (lo - F.col("tok_start") + 1).cast("int"),
+                    (hi - lo).cast("int")).alias("seg")).alias("p"))
+    return (sliced.groupBy("chunk_id")
+            .agg(F.flatten(F.sort_array(F.collect_list("p")).getField("seg"))
+                 .alias("tokens"))
+            .select("chunk_id", F.size("tokens").alias("n_tok"), "tokens"))
 
 
 def packing_summary(spark: SparkSession, sf_dir: str,
