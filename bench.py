@@ -256,6 +256,94 @@ def invert_only(tier_dir: str, cores: int) -> None:
     spark.stop()
 
 
+def curate_only(sf_dir: str, cores: int) -> None:
+    """One pinned measurement of the end-to-end curation composition
+    (q52's operator: quality + exact dedup + MinHash-LSH components +
+    repetition gates + assembly) — the training-pipeline twin of
+    cascade_only for the two-parallelism scaling evidence."""
+    try:
+        os.sched_setaffinity(0, range(cores))
+    except (AttributeError, OSError):
+        pass
+    from miaplpy_spark.functions.curate import curate_corpus
+
+    spark = _get_spark(cores)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    def once():
+        s0, tot0 = _steal_pct()
+        t0 = time.time()
+        n_out = curate_corpus(spark, sf_dir).count()
+        t = round(time.time() - t0, 3)
+        s1, tot1 = _steal_pct()
+        return {"n_docs": n_docs, "n_out": n_out, "t_total_s": t,
+                "docs_per_s": round(n_docs / t, 1),
+                "host_steal_pct": round(
+                    100.0 * (s1 - s0) / max(tot1 - tot0, 1), 1)}
+
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
+    once()                                            # warmup
+    runs = [once() for _ in range(n_runs)]
+    stats = min(runs, key=lambda r: r["t_total_s"])
+    stats["cores"] = cores
+    stats["all_totals_s"] = [r["t_total_s"] for r in runs]
+    print("CURATE_RESULT " + json.dumps(stats))
+    spark.stop()
+
+
+def scaling_curate(sf_dir: str | None = None) -> None:
+    """Two-parallelism scaling curve for the curation composition
+    (appends a section to BENCH/BASELINE.md; same pinned-subprocess
+    palindromic min-of-rounds protocol as the cascade/inversion
+    curves)."""
+    sf_dir = sf_dir or SF_DIR
+    core_list = [int(c) for c in
+                 os.environ.get("BENCH_CORES", "8,32").split(",")]
+    results = {}
+    for rnd, cores in enumerate(core_list + core_list[::-1]):
+        out = subprocess.run(
+            [sys.executable, __file__, "--curate-only", sf_dir,
+             str(cores)],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__))
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("CURATE_RESULT ")]
+        if out.returncode != 0 or not lines:
+            print(f"round{rnd} local[{cores}] failed: {out.stderr[-500:]}",
+                  file=sys.stderr)
+            continue
+        r = json.loads(lines[-1][len("CURATE_RESULT "):])
+        if cores not in results or r["t_total_s"] < results[cores]["t_total_s"]:
+            results[cores] = r
+        print(f"round{rnd} local[{cores}]: {r}", file=sys.stderr)
+    lo, hi = min(core_list), max(core_list)
+    eff = round(results[hi]["docs_per_s"]
+                / ((hi / lo) * results[lo]["docs_per_s"]), 3)
+    report = {f"local{c}": results[c] for c in core_list}
+    report[f"curate_scaling_efficiency_{lo}_to_{hi}"] = eff
+    print(json.dumps(report))
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "BASELINE.md")
+    rows = "\n".join(
+        f"| local[{c}] | {r['t_total_s']} | {r['docs_per_s']:,} "
+        f"| {r['docs_per_s'] / c:,.0f} | {r.get('host_steal_pct')} |"
+        for c, r in ((c, results[c]) for c in core_list))
+    with open(md, "a") as f:
+        f.write(f"""
+## Curation-composition scaling ({lo} vs {hi} cores, same protocol)
+
+Identical curate_corpus job (quality + exact dedup + MinHash-LSH
+pair graph + connected components + repetition gates + doc_key
+assembly; {results[lo]['n_docs']:,} docs) on the identical corpus,
+pinned fresh JVMs, warmup + min-of-rounds:
+
+| cores | total (s) | docs/s | per-core | host steal% |
+|---|---|---|---|---|
+{rows}
+
+**Curation scaling efficiency {lo} -> {hi}: {eff}**
+""")
+
+
 def scaling_invert(tier_dir: str | None = None) -> None:
     """Two-parallelism scaling curve for the INVERSION operator
     (appends a section to BENCH/BASELINE.md; the cascade curve from
@@ -538,6 +626,10 @@ if __name__ == "__main__":
         cascade_only(sys.argv[2], int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--invert-only":
         invert_only(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-curate":
+        scaling_curate(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--curate-only":
+        curate_only(sys.argv[2], int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-only":
         prepare_only(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-tier":

@@ -158,17 +158,37 @@ def invert_l1_batch(R: np.ndarray, Y: np.ndarray, alpha: float = 0.01,
             return np.stack([np.linalg.lstsq(Gw[p], dw[p], rcond=None)[0]
                              for p in range(Gw.shape[0])])
 
-    X = _solve(np.ones((n_px, G.shape[0])), dT)
+    X0 = _solve(np.ones((n_px, G.shape[0])), dT)     # smoothed L2 start
+    X = X0.copy()
     prev_res = np.abs(X @ G.T - dT)                  # (px, m)
     idx = np.arange(n_px)
+    # any |x| beyond this is solver garbage, never phase: entries are
+    # cumulative phase offsets, bounded by ~n*pi
+    blowup = max(1e6, 1e3 * n)
     for _ in range(max_iter):
         pr = prev_res[idx]
         w = 1.0 / np.maximum(pr, 1e-8)
         w = w / w.max(axis=1, keepdims=True)
         Xa = _solve(w, dT[idx])
+        # finite guard: with the 1e-8 relative weight floor, GtG's
+        # condition can reach ~1e16 — np.linalg.solve then returns
+        # inf/garbage WITHOUT raising (observed ~1/4000 docs at bench
+        # scale, poisoning ts_series with NaN). Re-solve those pixels
+        # with a safer floor; if still degenerate, keep the smoothed-L2
+        # start and retire the pixel — IRLS refinement is meaningless
+        # on a system this ill-conditioned.
+        bad = (~np.isfinite(Xa).all(axis=1)
+               | (np.abs(Xa).max(axis=1) > blowup))
+        if bad.any():
+            wr = np.maximum(w[bad], 1e-4)
+            Xr = _solve(wr, dT[idx][bad])
+            rbad = (~np.isfinite(Xr).all(axis=1)
+                    | (np.abs(Xr).max(axis=1) > blowup))
+            Xr[rbad] = X0[idx[bad][rbad]]
+            Xa[bad] = Xr
         X[idx] = Xa
         res = np.abs(Xa @ G.T - dT[idx])
-        still = np.max(np.abs(res - pr), axis=1) > tol
+        still = (np.max(np.abs(res - pr), axis=1) > tol) & ~bad
         prev_res[idx] = res
         idx = idx[still]
         if idx.size == 0:

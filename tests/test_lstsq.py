@@ -134,3 +134,83 @@ def test_l1_batch_matches_scalar():
     for p in range(3):
         exp = invert_l1(A, Y[:, p])
         np.testing.assert_allclose(got[:, p], exp, atol=1e-4)
+
+
+def test_l1_batch_finite_guard_repairs_degenerate_solves(monkeypatch):
+    """np.linalg.solve can return inf/garbage WITHOUT raising when the
+    IRLS weight floor drives GtG's condition to ~1e16 (observed ~1 in
+    4000 docs at bench scale, poisoning ts_series with NaN). The guard
+    must re-solve the pixel with a safer floor and, failing that, keep
+    the smoothed-L2 start — never emit a non-finite series."""
+    import numpy as np
+
+    from miaplpy_spark.kernels.lstsq import (design_matrices,
+                                             invert_l1_batch)
+    from miaplpy_spark.operators.network_inversion import \
+        sequential_pairs_idx
+
+    rng = np.random.RandomState(7)
+    n = 12
+    pairs = sequential_pairs_idx(n, 3)
+    A, _ = design_matrices(pairs, np.arange(n, dtype=np.float64))
+    truth = rng.uniform(-0.2, 0.2, size=(n - 1, 6)).cumsum(axis=0)
+    full = np.vstack([np.zeros((1, 6)), truth])
+    I = np.array([i for i, _ in pairs])
+    J = np.array([j for _, j in pairs])
+    Y = full[J] - full[I] + rng.normal(0, 0.01, size=(len(pairs), 6))
+
+    clean = invert_l1_batch(A, Y, alpha=0.01)
+
+    real_solve = np.linalg.solve
+    calls = {"n": 0}
+
+    def corrupting_solve(a, b):
+        calls["n"] += 1
+        out = real_solve(a, b)
+        # corrupt only sweep 1 (call 2) and its repair re-solve
+        # (call 3): active-set rows shift identity after retirement,
+        # so later corruption would hit different pixels
+        if calls["n"] in (2, 3) and out.ndim == 2:
+            out[0] = np.inf                     # pixel 0 goes degenerate
+        return out
+
+    monkeypatch.setattr(np.linalg, "solve", corrupting_solve)
+    got = invert_l1_batch(A, Y, alpha=0.01)
+    assert np.isfinite(got).all()
+    # pixel 0 fell back to the smoothed-L2 start (the initial,
+    # uncorrupted solve) and was retired from the working set
+    nx = A.shape[1]
+    G = np.vstack([A, 0.01 * (np.diag(np.full(nx, -2.0))
+                              + np.diag(np.ones(nx - 1), 1)
+                              + np.diag(np.ones(nx - 1), -1))])
+    d = np.concatenate([Y[:, 0], np.zeros(nx)])
+    x0 = np.linalg.lstsq(G, d, rcond=None)[0]
+    np.testing.assert_allclose(got[:, 0], x0, atol=1e-8)
+    # repaired run must leave well-behaved pixels' results intact
+    np.testing.assert_allclose(got[:, 1:], clean[:, 1:], atol=1e-6)
+
+
+def test_l1_batch_finite_on_residual_collapse():
+    """Exactly chain-consistent phases drive every residual to ~0 —
+    the weight floor's worst case — and must still solve finite and
+    near the truth."""
+    import numpy as np
+
+    from miaplpy_spark.kernels.lstsq import (design_matrices,
+                                             invert_l1_batch)
+    from miaplpy_spark.operators.network_inversion import \
+        sequential_pairs_idx
+
+    rng = np.random.RandomState(11)
+    n = 48
+    pairs = sequential_pairs_idx(n, 3)
+    A, _ = design_matrices(pairs, np.arange(n, dtype=np.float64))
+    truth = rng.uniform(-0.1, 0.1, size=(n - 1, 64)).cumsum(axis=0)
+    full = np.vstack([np.zeros((1, 64)), truth])
+    I = np.array([i for i, _ in pairs])
+    J = np.array([j for _, j in pairs])
+    Y = full[J] - full[I]                      # zero-noise: exact chain
+    X = invert_l1_batch(A, Y, alpha=0.01)
+    assert np.isfinite(X).all()
+    assert np.abs(X).max() < 1e3
+    np.testing.assert_allclose(X, truth, atol=0.05)
