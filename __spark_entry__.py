@@ -464,10 +464,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _q26_sql(n_perm: int = 32, bands: int = 8, k: int = 3,
              threshold: float = 0.35) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs: same md5-affine hash
-    family, same banding, same signature-Jaccard verify."""
+    family reduced mod MINHASH_PRIME (the unreduced family is
+    degenerate — see minhash_signatures), same banding, same
+    signature-Jaccard verify."""
+    from miaplpy_spark.functions.dedup import MINHASH_PRIME
+
     rpb = n_perm // bands
     mins = ", ".join(
-        f"min(h1 + {p + 1} * h2) AS m{p}" for p in range(n_perm))
+        f"min((h1 + {p + 1} * h2) % {MINHASH_PRIME}) AS m{p}"
+        for p in range(n_perm))
     sig_list = ", ".join(f"m{p}" for p in range(n_perm))
     return f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

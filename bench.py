@@ -237,6 +237,25 @@ def prepare_tier_only(tier_dir: str) -> None:
     spark.stop()
 
 
+def prepare_docs_only(corpus_dir: str, n_docs: int) -> None:
+    """Materialize a synthetic documents corpus at an arbitrary scale
+    (datagen.generate_documents: planted exact/near/repetitive/short
+    families) — the input the curation-scaling mode measures over.
+    The fixed sf corpora top out at 5k docs, where curate_corpus is
+    pure fixed overhead at every parallelism level; scaling evidence
+    needs a corpus big enough that the engine, not the JVM, is what
+    is being measured."""
+    from miaplpy_spark.datagen import generate_documents
+
+    spark = _get_spark(CPUS)
+    (generate_documents(spark, n_docs)
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{corpus_dir}/documents.parquet"))
+    n = spark.read.parquet(f"{corpus_dir}/documents.parquet").count()
+    print(f"prepared {n} synthetic docs at {corpus_dir}", file=sys.stderr)
+    spark.stop()
+
+
 def invert_only(tier_dir: str, cores: int) -> None:
     """One pinned measurement of the network-inversion job (the
     headline vs-reference operator) — the inversion twin of
@@ -295,8 +314,17 @@ def scaling_curate(sf_dir: str | None = None) -> None:
     """Two-parallelism scaling curve for the curation composition
     (appends a section to BENCH/BASELINE.md; same pinned-subprocess
     palindromic min-of-rounds protocol as the cascade/inversion
-    curves)."""
-    sf_dir = sf_dir or SF_DIR
+    curves).
+
+    Default corpus: a generated BENCH_CURATE_DOCS-doc synthetic
+    corpus (prepare_docs_only), NOT the 5k-doc sf directory — at 5k
+    docs the whole job is ~4 s of fixed overhead and the "efficiency"
+    measures JVM startup, not the engine."""
+    if sf_dir is None:
+        n_docs = int(os.environ.get("BENCH_CURATE_DOCS", "120000"))
+        sf_dir = f"/tmp/bench_curate_docs_{n_docs}"
+        if not os.path.exists(f"{sf_dir}/documents.parquet"):
+            prepare_docs_only(sf_dir, n_docs)
     core_list = [int(c) for c in
                  os.environ.get("BENCH_CORES", "8,32").split(",")]
     results = {}
@@ -333,8 +361,10 @@ def scaling_curate(sf_dir: str | None = None) -> None:
 
 Identical curate_corpus job (quality + exact dedup + MinHash-LSH
 pair graph + connected components + repetition gates + doc_key
-assembly; {results[lo]['n_docs']:,} docs) on the identical corpus,
-pinned fresh JVMs, warmup + min-of-rounds:
+assembly; {results[lo]['n_docs']:,} docs) on the identical corpus
+(synthetic generate_documents corpus with planted dup/near-dup/
+repetitive/short families under the default mode), pinned fresh
+JVMs, warmup + min-of-rounds:
 
 | cores | total (s) | docs/s | per-core | host steal% |
 |---|---|---|---|---|
@@ -634,5 +664,7 @@ if __name__ == "__main__":
         prepare_only(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-tier":
         prepare_tier_only(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-docs":
+        prepare_docs_only(sys.argv[2], int(sys.argv[3]))
     else:
         headline()

@@ -199,3 +199,129 @@ def generate_doc_dim(spark: SparkSession, scale: str | ScaleSpec = "tiny",
         keys.append(F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id"))
                      .alias("doc_key2"))
     return df.select(*keys, "doc_id", src.alias("source"))
+
+
+def generate_documents(spark: SparkSession, n_docs: int,
+                       cfg: EngineConfig = EngineConfig(),
+                       with_families: bool = False) -> DataFrame:
+    """Deterministic synthetic `documents` corpus (doc_id:long, text,
+    lang, source, n_chars — the driver testdata schema) at an
+    arbitrary scale, for benching the curation composition beyond the
+    fixed sf corpora.
+
+    Like ``generate_sequences``, everything derives JVM-side from
+    ``spark.range`` + hash expressions — no Python UDF, no driver
+    data, no shuffle: the same code writes 3k docs in a unit test and
+    10^9 docs on a cluster, linear and embarrassingly parallel.
+
+    Planted families (upper half of the id range only, so a dup's
+    content seed always resolves to a pure base doc in one hop —
+    Spark expressions cannot chase recursive dup-of-dup chains):
+
+      base   40–200 words from a 1,200-word pool, ~10% stopwords
+      exact  byte-identical copy of a base doc in [0, n/4)
+      near   same base doc, ~5% of word positions replaced — lands
+             above the MinHash verify threshold and collides in ≥1
+             LSH band with high probability
+      loop   60 words cycling a per-doc 2-word phrase (Gopher
+             repetition gates fire); the phrase varies per doc so
+             boilerplate does not collapse into one giant exact group
+      short  1–4 words (too_short gate)
+      soup   50 words drawn only from STOPWORDS (degenerate quality;
+             at default thresholds the repetition gate outranks it)
+
+    ``with_families=True`` keeps the ground-truth (kind,
+    content_seed) columns for tests; default output matches the
+    testdata schema exactly."""
+    from .functions.text import STOPWORDS
+
+    seed = str(cfg.seed)
+    pool = 1200          # word-pool size; idx < 120 -> stopword (~10%)
+    half = max(n_docs // 2, 1)
+    tgt_mod = max(n_docs // 4, 1)
+
+    df = spark.range(0, n_docs).select(F.col("id").alias("doc_id"))
+    u = _u("dockind" + seed, "doc_id")
+    kind = (F.when(F.col("doc_id") < half, F.lit("base"))
+             .when(u < 0.03, F.lit("exact"))
+             .when(u < 0.06, F.lit("near"))
+             .when(u < 0.07, F.lit("loop"))
+             .when(u < 0.08, F.lit("short"))
+             .when(u < 0.10, F.lit("soup"))
+             .otherwise(F.lit("base")))
+    df = df.withColumn("kind", kind)
+    target = F.pmod(F.xxhash64(F.lit("duptgt" + seed), F.col("doc_id")),
+                    F.lit(tgt_mod))
+    df = df.withColumn(
+        "content_seed",
+        F.when(F.col("kind").isin("exact", "near"), target)
+         .otherwise(F.col("doc_id")))
+
+    base_n = (F.lit(40)
+              + (_u("nw" + seed, "content_seed") * 160).cast("int"))
+    df = df.withColumn(
+        "n_words_gen",
+        F.when(F.col("kind") == "loop", F.lit(60))
+         .when(F.col("kind") == "short",
+               F.lit(1) + (_u("sn" + seed, "doc_id") * 4).cast("int"))
+         .when(F.col("kind") == "soup", F.lit(50))
+         .otherwise(base_n))
+
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = len(STOPWORDS)
+    loop_a = F.format_string(
+        "loop%d", F.pmod(F.xxhash64(F.lit("la" + seed), F.col("doc_id")),
+                         F.lit(500)))
+    loop_b = F.format_string(
+        "loop%d", F.pmod(F.xxhash64(F.lit("lb" + seed), F.col("doc_id")),
+                         F.lit(500)))
+
+    def word_at(i):
+        idx = F.pmod(
+            F.xxhash64(F.lit("dw" + seed), F.col("content_seed"), i),
+            F.lit(pool))
+        natural = (
+            F.when(idx < 120,
+                   F.element_at(stop_arr,
+                                F.pmod(idx, F.lit(n_stop)).cast("int") + 1))
+             .otherwise(F.format_string("w%d", idx)))
+        perturb = (
+            F.pmod(F.xxhash64(F.lit("pu" + seed), F.col("doc_id"), i),
+                   F.lit(1000)) < 50)
+        replaced = F.format_string(
+            "p%d", F.pmod(F.xxhash64(F.lit("pw" + seed), F.col("doc_id"), i),
+                          F.lit(pool)))
+        soup_w = F.element_at(
+            stop_arr,
+            F.pmod(F.xxhash64(F.lit("sw" + seed), F.col("doc_id"), i),
+                   F.lit(n_stop)).cast("int") + 1)
+        return (F.when(F.col("kind") == "loop",
+                       F.when(F.pmod(i, F.lit(2)) == 0, loop_a)
+                        .otherwise(loop_b))
+                 .when(F.col("kind") == "soup", soup_w)
+                 .when((F.col("kind") == "near") & perturb, replaced)
+                 .otherwise(natural))
+
+    df = df.withColumn(
+        "text",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.col("n_words_gen") - 1),
+                        word_at), " "))
+
+    lang_cuts = [("en", 0.45), ("zh", 0.60), ("fr", 0.73), ("es", 0.87)]
+    ul = _u("lang" + seed, "doc_id")
+    lang = F.lit("de")
+    for name, thr in reversed(lang_cuts):
+        lang = F.when(ul < thr, F.lit(name)).otherwise(lang)
+
+    thresholds = zipf_thresholds(len(cfg.sources), cfg.zipf_alpha)
+    us = _u("src" + seed, "doc_id")
+    src = F.lit(cfg.sources[-1])
+    for name, thr in reversed(list(zip(cfg.sources[:-1], thresholds[:-1]))):
+        src = F.when(us < thr, F.lit(name)).otherwise(src)
+
+    cols = ["doc_id", "text", lang.alias("lang"), src.alias("source"),
+            F.length("text").cast("long").alias("n_chars")]
+    if with_families:
+        cols += ["kind", "content_seed"]
+    return df.select(*cols)

@@ -340,8 +340,14 @@ def cross_source_overlap(spark, sf_dir, prefix_words: int = 8) -> DataFrame:
 
 
 def shingles(df: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: explode positions JVM-side."""
-    words = df.select("doc_id", F.split("text", " ").alias("ws"))
+    """Distinct k-word shingles per doc: explode positions JVM-side.
+
+    Docs shorter than k words yield no shingles (filtered before the
+    explode: ``F.sequence(1, n-k+1)`` would otherwise COUNT DOWN for
+    n < k and emit invalid slice starts — Spark's sequence is
+    bidirectional)."""
+    words = (df.select("doc_id", F.split("text", " ").alias("ws"))
+             .where(F.size("ws") >= k))
     return (words
             .select("doc_id", "ws",
                     F.explode(F.sequence(F.lit(1), F.size("ws") - (k - 1))).alias("i"))
