@@ -486,10 +486,11 @@ def _q26_sql(n_perm: int = 32, bands: int = 8, k: int = 3,
                FROM sh),
         sig AS (SELECT doc_id, {mins} FROM hs GROUP BY 1),
         sigl AS (SELECT doc_id, [{sig_list}] AS sig FROM sig),
-        banded AS (SELECT doc_id, sig, b.band,
-                          md5(b.band || ',' ||
-                              array_to_string(sig[b.band*{rpb}+1 : b.band*{rpb}+{rpb}], ','))
-                              AS bucket
+        banded AS (SELECT doc_id, b.band,
+                          CAST(('0x' || substr(
+                              md5(b.band || ',' ||
+                                  array_to_string(sig[b.band*{rpb}+1 : b.band*{rpb}+{rpb}], ',')),
+                              1, 15)) AS BIGINT) AS bucket
                    FROM sigl CROSS JOIN range({bands}) b(band)),
         cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
                  FROM banded a JOIN banded b

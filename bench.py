@@ -321,7 +321,7 @@ def scaling_curate(sf_dir: str | None = None) -> None:
     docs the whole job is ~4 s of fixed overhead and the "efficiency"
     measures JVM startup, not the engine."""
     if sf_dir is None:
-        n_docs = int(os.environ.get("BENCH_CURATE_DOCS", "120000"))
+        n_docs = int(os.environ.get("BENCH_CURATE_DOCS", "1600000"))
         sf_dir = f"/tmp/bench_curate_docs_{n_docs}"
         if not os.path.exists(f"{sf_dir}/documents.parquet"):
             prepare_docs_only(sf_dir, n_docs)

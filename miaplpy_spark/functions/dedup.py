@@ -90,41 +90,51 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
     signature Jaccard (an unbiased estimator of the true shingle
     Jaccard)."""
     d = _docs(spark, sf_dir)
+    # The plan references sig four times (both band-join sides + the
+    # two candidate verify joins); no explicit materialization is
+    # needed because all four sit above the SAME aggregation exchange
+    # and Spark's ReusedExchange computes that shuffle once per query
+    # (verified: an eager localCheckpoint of sig measured ~25% SLOWER
+    # at 400k docs — the write barrier costs more than it saves).
     sig = minhash_signatures(d, n_perm, k)
     rpb = n_perm // bands
+    # The band self-join never carries the signature arrays: banded
+    # rows are (doc_id, band, 60-bit bucket hash) — three fixed-width
+    # columns — so the join's two exchanges shuffle ~24 B/row instead
+    # of the ~512 B sig array (at 400k docs that is ~150 MB vs
+    # ~1.7 GB, and the gap grows linearly with the corpus).
+    # Signatures are fetched AFTER candidate dedup by joining the
+    # (doc1, doc2) id pairs back to the per-doc signature table —
+    # candidate-set cardinality, not banded-row cardinality.
     banded = sig.select(
         "doc_id", "sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
-    # bucket key: md5 of "band,m_i,m_i+1,..." — engine-portable string
     banded = banded.select(
-        "doc_id", "sig", "band",
-        F.md5(F.concat_ws(
+        "doc_id", "band",
+        _h60(F.concat_ws(
             ",", F.col("band").cast("string"),
             F.array_join(F.transform(
                 F.slice("sig", F.col("band") * rpb + 1, rpb),
                 lambda x: x.cast("string")), ","))).alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    # candidate dedup keys on the id pair ONLY (similarity.py's
-    # lsh_near_pairs pattern): a pair colliding in several bands would
-    # otherwise carry its two 32-long signature arrays (~512 B/row)
-    # through the distinct's shuffle key; first() is safe because sig
-    # is functionally determined by doc_id
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc1"),
-                    F.col("b.doc_id").alias("doc2"),
-                    F.col("a.sig").alias("sig1"),
-                    F.col("b.sig").alias("sig2"))
-            .groupBy("doc1", "doc2")
-            .agg(F.first("sig1").alias("sig1"),
-                 F.first("sig2").alias("sig2")))
-    est = cand.select(
-        "doc1", "doc2",
-        F.round(
-            F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
-                            lambda v: v)) / F.lit(n_perm), 6
-        ).alias("est_jaccard"))
+                    F.col("b.doc_id").alias("doc2"))
+            .distinct())
+    s1 = sig.select(F.col("doc_id").alias("doc1"),
+                    F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"),
+                    F.col("sig").alias("sig2"))
+    est = (cand.join(s1, "doc1").join(s2, "doc2")
+           .select(
+               "doc1", "doc2",
+               F.round(
+                   F.size(F.filter(
+                       F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                       lambda v: v)) / F.lit(n_perm), 6
+               ).alias("est_jaccard")))
     return est.where(F.col("est_jaccard") >= verify_threshold)
 
 
