@@ -81,6 +81,41 @@ def minhash_signatures(df: DataFrame, n_perm: int = 32, k: int = 3) -> DataFrame
         "doc_id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
 
 
+def _banded(sig: DataFrame, bands: int, rpb: int) -> DataFrame:
+    """Slim LSH band rows (doc_id, band, 60-bit bucket hash) from a
+    (doc_id, sig) signature table — fixed-width columns only, so band
+    joins never shuffle the signature arrays."""
+    out = sig.select(
+        "doc_id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    return out.select(
+        "doc_id", "band",
+        _h60(F.concat_ws(
+            ",", F.col("band").cast("string"),
+            F.array_join(F.transform(
+                F.slice("sig", F.col("band") * rpb + 1, rpb),
+                lambda x: x.cast("string")), ","))).alias("bucket"))
+
+
+def _verify_pairs(cand: DataFrame, sig: DataFrame,
+                  n_perm: int, verify_threshold: float) -> DataFrame:
+    """Signature-Jaccard verification of deduplicated (doc1, doc2)
+    candidate pairs against a (doc_id, sig) table."""
+    s1 = sig.select(F.col("doc_id").alias("doc1"),
+                    F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"),
+                    F.col("sig").alias("sig2"))
+    est = (cand.join(s1, "doc1").join(s2, "doc2")
+           .select(
+               "doc1", "doc2",
+               F.round(
+                   F.size(F.filter(
+                       F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                       lambda v: v)) / F.lit(n_perm), 6
+               ).alias("est_jaccard")))
+    return est.where(F.col("est_jaccard") >= verify_threshold)
+
+
 def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
                       k: int = 3, verify_threshold: float = 0.35) -> DataFrame:
     """LSH candidate generation + signature-Jaccard verification.
@@ -106,16 +141,7 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
     # Signatures are fetched AFTER candidate dedup by joining the
     # (doc1, doc2) id pairs back to the per-doc signature table —
     # candidate-set cardinality, not banded-row cardinality.
-    banded = sig.select(
-        "doc_id", "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
-    banded = banded.select(
-        "doc_id", "band",
-        _h60(F.concat_ws(
-            ",", F.col("band").cast("string"),
-            F.array_join(F.transform(
-                F.slice("sig", F.col("band") * rpb + 1, rpb),
-                lambda x: x.cast("string")), ","))).alias("bucket"))
+    banded = _banded(sig, bands, rpb)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -123,19 +149,114 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .distinct())
-    s1 = sig.select(F.col("doc_id").alias("doc1"),
-                    F.col("sig").alias("sig1"))
-    s2 = sig.select(F.col("doc_id").alias("doc2"),
-                    F.col("sig").alias("sig2"))
-    est = (cand.join(s1, "doc1").join(s2, "doc2")
-           .select(
-               "doc1", "doc2",
-               F.round(
-                   F.size(F.filter(
-                       F.zip_with("sig1", "sig2", lambda x, y: x == y),
-                       lambda v: v)) / F.lit(n_perm), 6
-               ).alias("est_jaccard")))
-    return est.where(F.col("est_jaccard") >= verify_threshold)
+    return _verify_pairs(cand, sig, n_perm, verify_threshold)
+
+
+def build_minhash_index(spark, sf_dir: str, index_dir: str,
+                        n_perm: int = 32, bands: int = 8,
+                        k: int = 3) -> int:
+    """Materialize the corpus's MinHash state as a persistent index —
+    the shape a CONTINUOUSLY-GROWING corpus needs: signatures and slim
+    band rows are computed once per document ever, and each arriving
+    batch dedups against the store by joining the (tiny) batch side
+    against these tables instead of re-hashing 10^12 existing docs.
+
+    Layout under ``index_dir``:
+      signatures/   (doc_id, sig array<long>)          parquet
+      bands/        (doc_id, band, bucket)             parquet,
+                    partitioned by band (probe joins co-locate
+                    per-band; every band is probed, so this is
+                    layout, not pruning)
+      params/       one-row JSON (n_perm, bands, k)    text
+
+    Params ride THROUGH Spark (the ivf_build_index pattern) so the
+    index works on any filesystem the session can write. Returns the
+    number of docs indexed."""
+    import json
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n_perm, k)
+    sig.write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    sig_r = spark.read.parquet(f"{index_dir}/signatures")
+    (_banded(sig_r, bands, n_perm // bands)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{index_dir}/bands"))
+    params = {"n_perm": n_perm, "bands": bands, "k": k}
+    (spark.createDataFrame([(json.dumps(params),)], "p string")
+     .coalesce(1).write.mode("overwrite").text(f"{index_dir}/params"))
+    return sig_r.count()
+
+
+def _minhash_index_params(spark, index_dir: str) -> dict:
+    import json
+
+    return json.loads(
+        spark.read.text(f"{index_dir}/params").collect()[0][0])
+
+
+def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
+                              verify_threshold: float = 0.35) -> DataFrame:
+    """Near-dup pairs INVOLVING a new document batch, against a
+    build_minhash_index store — without touching the stored corpus's
+    text. Exactly what minhash_lsh_pairs(full corpus) would emit,
+    restricted to pairs with at least one batch member (pinned by
+    tests/test_incremental_dedup.py against that oracle).
+
+    Cost model at 10^12 stored docs: signatures + banding for the
+    BATCH only (linear in batch size); one join of the batch's band
+    rows against the stored band table (shuffle bounded by the batch
+    side + matching store partitions; bucket collisions only ever
+    meet their own bucket); one self-join of the batch's band rows
+    (batch-internal dups); signature fetches at candidate-pair
+    cardinality. Nothing rescans or re-hashes stored documents.
+
+    Hash params come from the index's params record — a batch hashed
+    with different (n_perm, bands, k) would silently find nothing, so
+    they are not caller arguments."""
+    p = _minhash_index_params(spark, index_dir)
+    n_perm, bands, k = p["n_perm"], p["bands"], p["k"]
+    rpb = n_perm // bands
+
+    new_sig = minhash_signatures(_docs(spark, new_docs_dir), n_perm, k)
+    new_banded = _banded(new_sig, bands, rpb)
+    store_banded = spark.read.parquet(f"{index_dir}/bands")
+    store_sig = spark.read.parquet(f"{index_dir}/signatures")
+
+    nb, sb = new_banded.alias("nb"), store_banded.alias("sb")
+    ext = (nb.join(sb, (F.col("nb.band") == F.col("sb.band"))
+                   & (F.col("nb.bucket") == F.col("sb.bucket"))
+                   & (F.col("nb.doc_id") != F.col("sb.doc_id")))
+           .select(F.least("nb.doc_id", "sb.doc_id").alias("doc1"),
+                   F.greatest("nb.doc_id", "sb.doc_id").alias("doc2")))
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    internal = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc1"),
+                        F.col("b.doc_id").alias("doc2")))
+    cand = ext.unionByName(internal).distinct()
+    sig_all = store_sig.unionByName(new_sig)
+    return _verify_pairs(cand, sig_all, n_perm, verify_threshold)
+
+
+def extend_minhash_index(spark, new_docs_dir: str, index_dir: str) -> int:
+    """Append a new batch's signatures and band rows to an existing
+    index (call AFTER the keep/drop decision, so only retained docs
+    are indexed). Same params record; appends are per-batch dynamic
+    adds, never a rewrite of the stored tables. Returns the number of
+    docs appended."""
+    p = _minhash_index_params(spark, index_dir)
+    new_sig = minhash_signatures(_docs(spark, new_docs_dir),
+                                 p["n_perm"], p["k"])
+    new_sig.write.mode("append").parquet(f"{index_dir}/signatures")
+    # re-read what was appended so banding matches the stored rows
+    # (and the banding job does not recompute the signature agg)
+    appended = (spark.read.parquet(f"{index_dir}/signatures")
+                .join(_docs(spark, new_docs_dir).select("doc_id"),
+                      "doc_id", "left_semi"))
+    (_banded(appended, p["bands"], p["n_perm"] // p["bands"])
+     .write.mode("append").partitionBy("band")
+     .parquet(f"{index_dir}/bands"))
+    return appended.count()
 
 
 def simhash(df: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:

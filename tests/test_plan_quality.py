@@ -167,3 +167,28 @@ def test_repetition_signals_plan_shape(spark):
     assert count_exchanges(df) <= 4
     assert "SortMergeJoin [doc_id" not in plan_string(df, "simple") or \
         "string" not in str(df.schema["doc_id"].dataType)
+
+
+def test_minhash_band_join_shuffles_slim_rows(spark):
+    """The LSH band self-join must shuffle fixed-width (doc_id, band,
+    bucket-hash) rows — never the 32-long signature arrays (at corpus
+    scale that is the difference between ~24 B/row and ~512 B/row
+    through both join-side exchanges). Signatures may only reappear
+    ABOVE the candidate dedup, where cardinality is candidate pairs."""
+    import re
+
+    from miaplpy_spark.functions.dedup import minhash_lsh_pairs
+    from miaplpy_spark.plans.explain import plan_string
+
+    q = minhash_lsh_pairs(spark, SF)
+    plan = plan_string(q, "formatted")
+    band_exchanges = 0
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if "Exchange" not in block.split("\n", 1)[0]:
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        cols = m.group(1) if m else ""
+        if "bucket#" in cols:
+            band_exchanges += 1
+            assert "sig" not in cols, f"sig rides the band join: {cols}"
+    assert band_exchanges >= 1, "no band-join exchange found in plan"
