@@ -25,7 +25,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import DOC_KEY2_SALT, EngineConfig
-from .dedup import dedup_keep_list, minhash_lsh_pairs
+from .dedup import (connected_components, dedup_keep_list,
+                    incremental_minhash_pairs, minhash_lsh_pairs)
 from .text import _docs, exact_fingerprint, word_gate_stats
 
 
@@ -126,6 +127,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
                         algorithm="auto")
         .select("doc_id", F.col("keep").alias("near_keep")), cfg)
 
+    return _assemble_decision(
+        spine, gates, exact, near, keys, min_words, max_stopword_ratio,
+        min_ttr, max_dup_word_frac, max_top_word_frac,
+        max_top_ngram_frac)
+
+
+def _assemble_decision(spine, gates, exact, near, keys, min_words,
+                       max_stopword_ratio, min_ttr, max_dup_word_frac,
+                       max_top_word_frac, max_top_ngram_frac) -> DataFrame:
+    """The shared assembly + priority CASE of curate_corpus and
+    curate_batch — ONE definition so the full-corpus and incremental
+    decisions can never diverge on reason semantics. ``exact`` carries
+    is_exact, ``near`` carries near_keep, both keyed by ``keys``."""
     out = (spine
            .join(gates, keys, "left")
            .join(exact, keys, "left")
@@ -147,3 +161,103 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
         F.coalesce("n_words", F.lit(0)).alias("n_words"),
         reason.alias("reason"),
         (reason == "kept").alias("keep"))
+
+
+def curate_batch(spark: SparkSession, batch_dir: str, index_dir: str,
+                 min_words: int = 5, max_stopword_ratio: float = 0.9,
+                 min_ttr: float = 0.2,
+                 near_dup_threshold: float = 0.35,
+                 max_dup_word_frac: float = 0.7,
+                 max_top_word_frac: float = 0.2,
+                 max_top_ngram_frac: float = 0.2,
+                 cfg: EngineConfig = EngineConfig()) -> DataFrame:
+    """INCREMENTAL curation: the per-batch decision a continuously-
+    growing corpus actually runs — curate an ARRIVING batch against a
+    ``dedup.build_minhash_index`` store without rescanning or
+    re-hashing any stored document. Same output schema, same reason
+    vocabulary, same priority CASE as ``curate_corpus`` (one shared
+    ``_assemble_decision``), with the dedup legs under the STORE-WINS
+    contract the incremental setting forces:
+
+      exact_dup   the batch doc's fingerprint matches ANY stored doc
+                  (the store member was already kept and cannot be
+                  revisited), OR an earlier (smaller-id) doc in the
+                  SAME batch
+      near_dup    the batch doc's near-dup component (over
+                  incremental_minhash_pairs, components via
+                  connected_components) contains ANY stored doc, or
+                  a smaller-id batch doc
+
+    Under the growing corpus's append-only id discipline (every stored
+    id precedes every batch id) store-wins coincides exactly with
+    curate_corpus's min-id-canonical semantics, so
+    ``curate_batch(B, index(A)) == curate_corpus(A + B)`` restricted
+    to B — pinned frame-exactly by tests/test_incremental_curate.py.
+    (Store-store near-dup edges are invisible to the batch run by
+    design; they can only merge components that already contain a
+    stored doc, whose batch members drop either way.)
+
+    Cost at 10^12 stored docs: the gates scan the BATCH text only;
+    the exact leg reads the store's 16-byte fingerprint sidecar with
+    the batch's fingerprint set broadcast into the scan (matched
+    fingerprints come out at batch cardinality; the store is never
+    shuffled); the near leg inherits incremental_minhash_pairs' cost
+    model. After the decision, pass ``.where("keep")`` to
+    ``extend_minhash_index`` so the next batch dedups against this
+    one."""
+    d = _docs(spark, batch_dir)
+    spine = d.select("doc_id", "lang")
+    spine = spine.withColumn("doc_key", F.xxhash64("doc_id"))
+    if getattr(cfg, "wide_doc_key", False):
+        spine = spine.withColumn(
+            "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id")))
+    keys = _key_cols(cfg)
+
+    gates = _with_keys(word_gate_stats(spark, batch_dir), cfg)
+
+    # exact leg: batch fingerprints vs the stored sidecar + in-batch
+    # keep-first. The store side streams (broadcast probe, no store
+    # shuffle); `matched` is at most one row per distinct batch fp.
+    fp = d.select("doc_id", exact_fingerprint().alias("fp"))
+    store_fp = spark.read.parquet(f"{index_dir}/fingerprints")
+    matched = (store_fp
+               .join(F.broadcast(fp.select("fp").distinct()),
+                     "fp", "left_semi")
+               .select("fp").distinct()
+               .withColumn("in_store", F.lit(True)))
+    first_in_batch = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    losers = (fp.join(F.broadcast(matched), "fp", "left")
+              .join(first_in_batch, "fp")
+              .where(F.col("in_store").isNotNull()
+                     | (F.col("doc_id") != F.col("keeper")))
+              .select("doc_id", F.lit(True).alias("is_exact")))
+    exact = _with_keys(losers, cfg)
+
+    # near leg: components over the pairs touching this batch; a
+    # component is store-tainted iff any member is NOT a batch doc.
+    # The component graph is candidate-bounded (tiny next to either
+    # corpus), so these joins are all small-side.
+    pairs = incremental_minhash_pairs(spark, batch_dir, index_dir,
+                                      verify_threshold=near_dup_threshold)
+    comps = connected_components(pairs, algorithm="auto")
+    batch_ids = d.select(F.col("doc_id").alias("node"),
+                         F.lit(True).alias("in_batch"))
+    flagged = comps.join(batch_ids, "node", "left")
+    comp_stats = flagged.groupBy("comp").agg(
+        F.max(F.col("in_batch").isNull().cast("int")).alias("has_store"),
+        F.min(F.when(F.col("in_batch").isNotNull(), F.col("node")))
+         .alias("min_batch"))
+    near_rows = (flagged.where(F.col("in_batch"))
+                 .join(comp_stats, "comp")
+                 .select(F.col("node").alias("doc_id"),
+                         ((F.col("has_store") == 0)
+                          & (F.col("node") == F.col("min_batch")))
+                         .alias("near_keep")))
+    # batch docs in no pair never appear here: the CASE's null
+    # fallthrough keeps them, matching the spine-total singleton rule
+    near = _with_keys(near_rows, cfg)
+
+    return _assemble_decision(
+        spine, gates, exact, near, keys, min_words, max_stopword_ratio,
+        min_ttr, max_dup_word_frac, max_top_word_frac,
+        max_top_ngram_frac)

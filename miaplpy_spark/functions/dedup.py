@@ -167,6 +167,10 @@ def build_minhash_index(spark, sf_dir: str, index_dir: str,
                     partitioned by band (probe joins co-locate
                     per-band; every band is probed, so this is
                     layout, not pruning)
+      fingerprints/ (doc_id, fp)                       parquet —
+                    the exact-dedup sidecar (text.exact_fingerprint),
+                    so curate_batch answers "byte-identical to a
+                    stored doc?" from 16 bytes/doc, never stored text
       params/       one-row JSON (n_perm, bands, k)    text
 
     Params ride THROUGH Spark (the ivf_build_index pattern) so the
@@ -174,12 +178,17 @@ def build_minhash_index(spark, sf_dir: str, index_dir: str,
     number of docs indexed."""
     import json
 
-    sig = minhash_signatures(_docs(spark, sf_dir), n_perm, k)
+    from .text import exact_fingerprint
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(d, n_perm, k)
     sig.write.mode("overwrite").parquet(f"{index_dir}/signatures")
     sig_r = spark.read.parquet(f"{index_dir}/signatures")
     (_banded(sig_r, bands, n_perm // bands)
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{index_dir}/bands"))
+    (d.select("doc_id", exact_fingerprint().alias("fp"))
+     .write.mode("overwrite").parquet(f"{index_dir}/fingerprints"))
     params = {"n_perm": n_perm, "bands": bands, "k": k}
     (spark.createDataFrame([(json.dumps(params),)], "p string")
      .coalesce(1).write.mode("overwrite").text(f"{index_dir}/params"))
@@ -202,12 +211,17 @@ def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
     tests/test_incremental_dedup.py against that oracle).
 
     Cost model at 10^12 stored docs: signatures + banding for the
-    BATCH only (linear in batch size); one join of the batch's band
-    rows against the stored band table (shuffle bounded by the batch
-    side + matching store partitions; bucket collisions only ever
-    meet their own bucket); one self-join of the batch's band rows
-    (batch-internal dups); signature fetches at candidate-pair
-    cardinality. Nothing rescans or re-hashes stored documents.
+    BATCH only (linear in batch size); the batch's band rows BROADCAST
+    into a streamed scan of the stored band table (the store side —
+    the 10^12-row side — is never shuffled; it is read once as slim
+    24 B fixed-width rows and probed map-side, the same build-side
+    choice a broadcast join makes for a small dimension); one
+    self-join of the batch's band rows (batch-internal dups);
+    signature fetches bounded by CANDIDATE cardinality — the stored
+    signature table is semi-joined against the (tiny, broadcast)
+    candidate id set before the wide sig arrays enter any join, so
+    stored signatures are scanned but never shuffled either. Nothing
+    rescans or re-hashes stored documents.
 
     Hash params come from the index's params record — a batch hashed
     with different (n_perm, bands, k) would silently find nothing, so
@@ -217,12 +231,16 @@ def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
     rpb = n_perm // bands
 
     new_sig = minhash_signatures(_docs(spark, new_docs_dir), n_perm, k)
-    new_banded = _banded(new_sig, bands, rpb)
+    # the batch's band rows feed three joins (store probe, both sides
+    # of the internal self-join) and each would otherwise recompute
+    # the signature aggregation; they are also the broadcast build
+    # side, so materialize once
+    new_banded = _banded(new_sig, bands, rpb).localCheckpoint(eager=True)
     store_banded = spark.read.parquet(f"{index_dir}/bands")
     store_sig = spark.read.parquet(f"{index_dir}/signatures")
 
-    nb, sb = new_banded.alias("nb"), store_banded.alias("sb")
-    ext = (nb.join(sb, (F.col("nb.band") == F.col("sb.band"))
+    nb, sb = F.broadcast(new_banded).alias("nb"), store_banded.alias("sb")
+    ext = (sb.join(nb, (F.col("nb.band") == F.col("sb.band"))
                    & (F.col("nb.bucket") == F.col("sb.bucket"))
                    & (F.col("nb.doc_id") != F.col("sb.doc_id")))
            .select(F.least("nb.doc_id", "sb.doc_id").alias("doc1"),
@@ -233,29 +251,52 @@ def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
                 .select(F.col("a.doc_id").alias("doc1"),
                         F.col("b.doc_id").alias("doc2")))
-    cand = ext.unionByName(internal).distinct()
-    sig_all = store_sig.unionByName(new_sig)
-    return _verify_pairs(cand, sig_all, n_perm, verify_threshold)
+    # materialize candidates ONCE: they feed both the id-set broadcast
+    # and the verify join, and recomputing them would scan the stored
+    # band table twice
+    cand = (ext.unionByName(internal).distinct()
+            .localCheckpoint(eager=True))
+    # fetch ONLY the signatures the verify needs: candidate ids are a
+    # tiny set — broadcast-semi-join them into the stored signature
+    # scan so the wide sig arrays surface at candidate cardinality
+    cand_ids = (cand.select(F.col("doc1").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+                .distinct())
+    sig_needed = (store_sig.join(F.broadcast(cand_ids), "doc_id",
+                                 "left_semi")
+                  .unionByName(new_sig))
+    return _verify_pairs(cand, sig_needed, n_perm, verify_threshold)
 
 
-def extend_minhash_index(spark, new_docs_dir: str, index_dir: str) -> int:
-    """Append a new batch's signatures and band rows to an existing
-    index (call AFTER the keep/drop decision, so only retained docs
-    are indexed). Same params record; appends are per-batch dynamic
-    adds, never a rewrite of the stored tables. Returns the number of
-    docs appended."""
+def extend_minhash_index(spark, new_docs_dir: str, index_dir: str,
+                         keep: DataFrame | None = None) -> int:
+    """Append a new batch's signatures, band rows, and fingerprints to
+    an existing index (call AFTER the keep/drop decision, so only
+    retained docs are indexed — pass the kept ids as ``keep``, any
+    DataFrame with a doc_id column, e.g. ``curate_batch(...)
+    .where("keep")``). Same params record; appends are per-batch
+    dynamic adds, never a rewrite of the stored tables. Returns the
+    number of docs appended."""
+    from .text import exact_fingerprint
+
     p = _minhash_index_params(spark, index_dir)
-    new_sig = minhash_signatures(_docs(spark, new_docs_dir),
-                                 p["n_perm"], p["k"])
+    docs = _docs(spark, new_docs_dir)
+    if keep is not None:
+        # materialize the kept-id set once: it gates three writes, and
+        # callers pass live decision plans (curate_batch(...).where)
+        keep_ids = keep.select("doc_id").localCheckpoint(eager=True)
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
+    new_sig = minhash_signatures(docs, p["n_perm"], p["k"])
     new_sig.write.mode("append").parquet(f"{index_dir}/signatures")
     # re-read what was appended so banding matches the stored rows
     # (and the banding job does not recompute the signature agg)
     appended = (spark.read.parquet(f"{index_dir}/signatures")
-                .join(_docs(spark, new_docs_dir).select("doc_id"),
-                      "doc_id", "left_semi"))
+                .join(docs.select("doc_id"), "doc_id", "left_semi"))
     (_banded(appended, p["bands"], p["n_perm"] // p["bands"])
      .write.mode("append").partitionBy("band")
      .parquet(f"{index_dir}/bands"))
+    (docs.select("doc_id", exact_fingerprint().alias("fp"))
+     .write.mode("append").parquet(f"{index_dir}/fingerprints"))
     return appended.count()
 
 
