@@ -374,6 +374,151 @@ JVMs, warmup + min-of-rounds:
 """)
 
 
+def prepare_incr_only(root: str, n_base: int, n_batch: int) -> None:
+    """Materialize one generated corpus as full/ plus its base/batch
+    split (batch = the LAST n_batch ids, matching the growing corpus's
+    append-only id discipline, so store-wins == min-id-canonical)."""
+    import pyspark.sql.functions as F
+
+    from miaplpy_spark.datagen import generate_documents
+
+    spark = _get_spark(CPUS)
+    (generate_documents(spark, n_base + n_batch).repartition(64)
+     .write.mode("overwrite").parquet(f"{root}/full/documents.parquet"))
+    full = spark.read.parquet(f"{root}/full/documents.parquet")
+    (full.where(F.col("doc_id") < n_base).write.mode("overwrite")
+     .parquet(f"{root}/base/documents.parquet"))
+    (full.where(F.col("doc_id") >= n_base).coalesce(8)
+     .write.mode("overwrite").parquet(f"{root}/batch/documents.parquet"))
+    print(f"prepared incr corpus {n_base}+{n_batch} at {root}",
+          file=sys.stderr)
+    spark.stop()
+
+
+def incr_only(root: str, cores: int) -> None:
+    """One pinned measurement of the INCREMENTAL curation path: index
+    build over the base corpus (one-time, amortized), curate_batch of
+    the arriving batch against it (the per-batch steady-state cost),
+    and the full-recompute alternative (curate_corpus over base+batch
+    — what a pipeline without the index pays per arriving batch)."""
+    try:
+        os.sched_setaffinity(0, range(cores))
+    except (AttributeError, OSError):
+        pass
+    from miaplpy_spark.functions.curate import curate_batch, curate_corpus
+    from miaplpy_spark.functions.dedup import build_minhash_index
+
+    spark = _get_spark(cores)
+    idx = f"{root}/idx"
+    n_batch = spark.read.parquet(
+        f"{root}/batch/documents.parquet").count()
+
+    t0 = time.time()
+    n_base = build_minhash_index(spark, f"{root}/base", idx)
+    t_index = round(time.time() - t0, 3)
+
+    def once_batch():
+        s0, tot0 = _steal_pct()
+        t0 = time.time()
+        n_out = curate_batch(spark, f"{root}/batch", idx).count()
+        t = round(time.time() - t0, 3)
+        s1, tot1 = _steal_pct()
+        return {"t_batch_s": t, "n_out": n_out,
+                "batch_docs_per_s": round(n_batch / t, 1),
+                "host_steal_pct": round(
+                    100.0 * (s1 - s0) / max(tot1 - tot0, 1), 1)}
+
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
+    once_batch()                                      # warmup
+    runs = [once_batch() for _ in range(n_runs)]
+    stats = min(runs, key=lambda r: r["t_batch_s"])
+    stats["all_batch_s"] = [r["t_batch_s"] for r in runs]
+
+    full_runs = []
+    for _ in range(max(2, n_runs // 2)):
+        t0 = time.time()
+        curate_corpus(spark, f"{root}/full").count()
+        full_runs.append(round(time.time() - t0, 3))
+    stats.update({
+        "n_base": n_base, "n_batch": n_batch, "t_index_s": t_index,
+        "t_full_s": min(full_runs), "all_full_s": full_runs,
+        "cores": cores,
+        "speedup_vs_full": round(min(full_runs) / stats["t_batch_s"], 1)})
+    print("INCR_RESULT " + json.dumps(stats))
+    spark.stop()
+
+
+def scaling_incremental() -> None:
+    """Store-size-invariance evidence for the incremental curation
+    path (appends a section to BENCH/BASELINE.md): the SAME arriving
+    batch is curated against stores of different sizes — at 100 TB the
+    claim that matters is that the per-batch cost tracks the BATCH,
+    not the store, while the full-recompute alternative grows with the
+    corpus. Pinned fresh JVM per store size, warmup + min-of-rounds."""
+    bases = [int(x) for x in
+             os.environ.get("BENCH_INCR_BASES", "400000,1600000").split(",")]
+    n_batch = int(os.environ.get("BENCH_INCR_BATCH", "80000"))
+    results = {}
+    for n_base in bases:
+        root = f"/tmp/bench_incr_{n_base}_{n_batch}"
+        if not os.path.exists(f"{root}/full/documents.parquet"):
+            out = subprocess.run(
+                [sys.executable, __file__, "--prepare-incr", root,
+                 str(n_base), str(n_batch)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(__file__))
+            if out.returncode != 0:
+                print(f"prepare {n_base} failed: {out.stderr[-500:]}",
+                      file=sys.stderr)
+                continue
+        out = subprocess.run(
+            [sys.executable, __file__, "--incr-only", root, str(CPUS)],
+            capture_output=True, text=True, cwd=os.path.dirname(__file__))
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("INCR_RESULT ")]
+        if out.returncode != 0 or not lines:
+            print(f"incr {n_base} failed: {out.stderr[-500:]}",
+                  file=sys.stderr)
+            continue
+        results[n_base] = json.loads(lines[-1][len("INCR_RESULT "):])
+        print(f"store {n_base}: {results[n_base]}", file=sys.stderr)
+    if len(results) < 2:
+        raise SystemExit("need at least two store sizes for the curve")
+    lo, hi = min(results), max(results)
+    flatness = round(results[hi]["t_batch_s"] / results[lo]["t_batch_s"], 2)
+    report = {f"store{c}": results[c] for c in results}
+    report["incr_batch_time_ratio_big_vs_small_store"] = flatness
+    print(json.dumps(report))
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "BASELINE.md")
+    rows = "\n".join(
+        f"| {c:,} | {r['n_batch']:,} | {r['t_index_s']} | {r['t_batch_s']} "
+        f"| {r['batch_docs_per_s']:,} | {r['t_full_s']} "
+        f"| {r['speedup_vs_full']}x | {r.get('host_steal_pct')} |"
+        for c, r in sorted(results.items()))
+    with open(md, "a") as f:
+        f.write(f"""
+## Incremental curation vs full recompute (local[{CPUS}], same protocol)
+
+The same-size arriving batch ({results[lo]['n_batch']:,} docs) curated
+via curate_batch against build_minhash_index stores of two sizes,
+versus the full-recompute alternative (curate_corpus over store +
+batch — what a pipeline without the index pays per arriving batch).
+Index build is the one-time amortized cost; batch time is warmup +
+min-of-rounds in a pinned fresh JVM per store size:
+
+| store docs | batch docs | index build (s) | batch (s) | batch docs/s | full recompute (s) | speedup | host steal% |
+|---|---|---|---|---|---|---|---|
+{rows}
+
+**Per-batch incremental time, {hi // 1000}k-store vs {lo // 1000}k-store:
+{flatness}x** — the per-batch cost tracks the batch, not the store
+(a 4x larger store must NOT cost ~4x per batch; the full-recompute
+column does grow with the store, which is exactly the scan the index
+exists to avoid at 10^12 stored docs).
+""")
+
+
 def scaling_invert(tier_dir: str | None = None) -> None:
     """Two-parallelism scaling curve for the INVERSION operator
     (appends a section to BENCH/BASELINE.md; the cascade curve from
@@ -666,5 +811,11 @@ if __name__ == "__main__":
         prepare_tier_only(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-docs":
         prepare_docs_only(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-incremental":
+        scaling_incremental()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--prepare-incr":
+        prepare_incr_only(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incr-only":
+        incr_only(sys.argv[2], int(sys.argv[3]))
     else:
         headline()

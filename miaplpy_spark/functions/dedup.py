@@ -202,6 +202,37 @@ def _minhash_index_params(spark, index_dir: str) -> dict:
         spark.read.text(f"{index_dir}/params").collect()[0][0])
 
 
+def _incremental_candidates(spark, new_sig: DataFrame, index_dir: str,
+                            p: dict) -> DataFrame:
+    """The LAZY candidate-pair plan of incremental_minhash_pairs —
+    split out so its join shape is inspectable (the caller eagerly
+    checkpoints the result, which hides the band joins from explain):
+    the batch's band rows BROADCAST into a streamed scan of the stored
+    band table (the store side is never shuffled), plus the
+    batch-internal band self-join."""
+    rpb = p["n_perm"] // p["bands"]
+    # the batch's band rows feed three joins (store probe, both sides
+    # of the internal self-join) and each would otherwise recompute
+    # the signature aggregation; they are also the broadcast build
+    # side, so materialize once
+    new_banded = (_banded(new_sig, p["bands"], rpb)
+                  .localCheckpoint(eager=True))
+    store_banded = spark.read.parquet(f"{index_dir}/bands")
+    nb, sb = F.broadcast(new_banded).alias("nb"), store_banded.alias("sb")
+    ext = (sb.join(nb, (F.col("nb.band") == F.col("sb.band"))
+                   & (F.col("nb.bucket") == F.col("sb.bucket"))
+                   & (F.col("nb.doc_id") != F.col("sb.doc_id")))
+           .select(F.least("nb.doc_id", "sb.doc_id").alias("doc1"),
+                   F.greatest("nb.doc_id", "sb.doc_id").alias("doc2")))
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    internal = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc1"),
+                        F.col("b.doc_id").alias("doc2")))
+    return ext.unionByName(internal).distinct()
+
+
 def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
                               verify_threshold: float = 0.35) -> DataFrame:
     """Near-dup pairs INVOLVING a new document batch, against a
@@ -227,34 +258,14 @@ def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
     with different (n_perm, bands, k) would silently find nothing, so
     they are not caller arguments."""
     p = _minhash_index_params(spark, index_dir)
-    n_perm, bands, k = p["n_perm"], p["bands"], p["k"]
-    rpb = n_perm // bands
-
-    new_sig = minhash_signatures(_docs(spark, new_docs_dir), n_perm, k)
-    # the batch's band rows feed three joins (store probe, both sides
-    # of the internal self-join) and each would otherwise recompute
-    # the signature aggregation; they are also the broadcast build
-    # side, so materialize once
-    new_banded = _banded(new_sig, bands, rpb).localCheckpoint(eager=True)
-    store_banded = spark.read.parquet(f"{index_dir}/bands")
+    n_perm = p["n_perm"]
+    new_sig = minhash_signatures(_docs(spark, new_docs_dir),
+                                 n_perm, p["k"])
     store_sig = spark.read.parquet(f"{index_dir}/signatures")
-
-    nb, sb = F.broadcast(new_banded).alias("nb"), store_banded.alias("sb")
-    ext = (sb.join(nb, (F.col("nb.band") == F.col("sb.band"))
-                   & (F.col("nb.bucket") == F.col("sb.bucket"))
-                   & (F.col("nb.doc_id") != F.col("sb.doc_id")))
-           .select(F.least("nb.doc_id", "sb.doc_id").alias("doc1"),
-                   F.greatest("nb.doc_id", "sb.doc_id").alias("doc2")))
-    a, b = new_banded.alias("a"), new_banded.alias("b")
-    internal = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                       & (F.col("a.bucket") == F.col("b.bucket"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
-                .select(F.col("a.doc_id").alias("doc1"),
-                        F.col("b.doc_id").alias("doc2")))
     # materialize candidates ONCE: they feed both the id-set broadcast
     # and the verify join, and recomputing them would scan the stored
     # band table twice
-    cand = (ext.unionByName(internal).distinct()
+    cand = (_incremental_candidates(spark, new_sig, index_dir, p)
             .localCheckpoint(eager=True))
     # fetch ONLY the signatures the verify needs: candidate ids are a
     # tiny set — broadcast-semi-join them into the stored signature

@@ -192,3 +192,61 @@ def test_minhash_band_join_shuffles_slim_rows(spark):
             band_exchanges += 1
             assert "sig" not in cols, f"sig rides the band join: {cols}"
     assert band_exchanges >= 1, "no band-join exchange found in plan"
+
+
+def test_incremental_pairs_store_side_never_shuffles(spark, tmp_path):
+    """The incremental dedup probe must stream the STORE side (the
+    10^12-row side at scale): the batch's band rows broadcast into the
+    stored band scan, and stored signatures surface through a
+    broadcast LeftSemi at candidate cardinality — so the only hash
+    exchanges carrying band-bucket rows are the batch-internal
+    self-join's two sides. A plan that shuffles the store would be a
+    full-corpus redistribution per arriving batch."""
+    import re
+
+    from miaplpy_spark.datagen import generate_documents
+    from miaplpy_spark.functions.dedup import (_incremental_candidates,
+                                               _minhash_index_params,
+                                               build_minhash_index,
+                                               incremental_minhash_pairs,
+                                               minhash_signatures)
+    from miaplpy_spark.plans.explain import plan_string
+
+    root = str(tmp_path)
+    docs = generate_documents(spark, 300)
+    docs.where("doc_id < 200").write.parquet(
+        f"{root}/base/documents.parquet")
+    docs.where("doc_id >= 200").write.parquet(
+        f"{root}/batch/documents.parquet")
+    build_minhash_index(spark, f"{root}/base", f"{root}/idx")
+
+    # the lazy candidate plan (incremental_minhash_pairs checkpoints
+    # it, which would hide the band joins from explain)
+    p = _minhash_index_params(spark, f"{root}/idx")
+    batch = spark.read.parquet(f"{root}/batch/documents.parquet")
+    cand = _incremental_candidates(
+        spark, minhash_signatures(batch, p["n_perm"], p["k"]),
+        f"{root}/idx", p)
+    plan = plan_string(cand, "formatted")
+    assert plan.count("BroadcastHashJoin") >= 1, \
+        "store band probe lost its broadcast — the store would shuffle"
+    bucket_exchanges = 0
+    for block in re.split(r"\n\(\d+\) ", plan):
+        head = block.split("\n", 1)[0]
+        if "Exchange" not in head or "Broadcast" in head:
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        cols = m.group(1) if m else ""
+        if "bucket#" in cols:
+            bucket_exchanges += 1
+    assert bucket_exchanges <= 2, (
+        f"{bucket_exchanges} hash exchanges carry band rows — the "
+        "store side is being shuffled (only the batch-internal "
+        "self-join's two sides may)")
+
+    # the verify plan: stored signatures surface via a broadcast
+    # LeftSemi at candidate cardinality, never a store-wide shuffle
+    q = incremental_minhash_pairs(spark, f"{root}/batch", f"{root}/idx")
+    vplan = plan_string(q, "formatted")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", vplan), \
+        "candidate-id signature semi-join lost its broadcast"
