@@ -280,14 +280,23 @@ def incremental_minhash_pairs(spark, new_docs_dir: str, index_dir: str,
 
 
 def extend_minhash_index(spark, new_docs_dir: str, index_dir: str,
-                         keep: DataFrame | None = None) -> int:
+                         keep: DataFrame | None = None,
+                         if_absent: bool = False) -> int:
     """Append a new batch's signatures, band rows, and fingerprints to
     an existing index (call AFTER the keep/drop decision, so only
     retained docs are indexed — pass the kept ids as ``keep``, any
     DataFrame with a doc_id column, e.g. ``curate_batch(...)
     .where("keep")``). Same params record; appends are per-batch
     dynamic adds, never a rewrite of the stored tables. Returns the
-    number of docs appended."""
+    number of docs appended.
+
+    ``if_absent=True`` skips docs already in the index — the replay
+    guard a streaming caller needs (a micro-batch replayed after a
+    failed commit would otherwise double-append, and duplicate index
+    rows surface as duplicate pair rows downstream). Costs one slim
+    doc_id-column scan of the stored signatures with the batch ids
+    broadcast into it (the already-present set comes out at batch
+    cardinality; the store is never shuffled)."""
     from .text import exact_fingerprint
 
     p = _minhash_index_params(spark, index_dir)
@@ -297,6 +306,13 @@ def extend_minhash_index(spark, new_docs_dir: str, index_dir: str,
         # callers pass live decision plans (curate_batch(...).where)
         keep_ids = keep.select("doc_id").localCheckpoint(eager=True)
         docs = docs.join(keep_ids, "doc_id", "left_semi")
+    if if_absent:
+        present = (spark.read.parquet(f"{index_dir}/signatures")
+                   .select("doc_id")
+                   .join(F.broadcast(docs.select("doc_id")),
+                         "doc_id", "left_semi")
+                   .localCheckpoint(eager=True))
+        docs = docs.join(F.broadcast(present), "doc_id", "left_anti")
     new_sig = minhash_signatures(docs, p["n_perm"], p["k"])
     new_sig.write.mode("append").parquet(f"{index_dir}/signatures")
     # re-read what was appended so banding matches the stored rows
