@@ -624,6 +624,13 @@ def scaling(input_dir: str | None = None) -> None:
         thr[hi] / ((hi / lo) * thr[lo]), 3)
     for a, b in zip(core_list, core_list[1:]):
         report[f"eff_{a}_to_{b}"] = round(thr[b] / ((b / a) * thr[a]), 3)
+    # the north rule is stated over N -> 4N specifically: report EVERY
+    # quadrupling pair the measured core list contains (e.g. 4->16 and
+    # 8->32 from a 4,8,16,32 run), not just the endpoints
+    for a in core_list:
+        if 4 * a in thr:
+            report[f"eff_4x_{a}_to_{4 * a}"] = round(
+                thr[4 * a] / (4 * thr[a]), 3)
     print(json.dumps(report))
     _write_bench_md(report, core_list)
 
@@ -652,6 +659,10 @@ def _write_bench_md(report: dict, core_list: list[int]) -> None:
     pair_effs = "; ".join(
         f"{a}->{b}: {report[f'eff_{a}_to_{b}']}"
         for a, b in zip(core_list, core_list[1:]))
+    quad_effs = "\n".join(
+        f"**Scaling efficiency {a} -> {4 * a} cores (N -> 4N): "
+        f"{report[f'eff_4x_{a}_to_{4 * a}']}**"
+        for a in core_list if f"eff_4x_{a}_to_{4 * a}" in report)
     with open(md, "w") as f:
         f.write(f"""# BENCH — scaling evidence (north_rule)
 
@@ -668,8 +679,9 @@ JVMs. Reference's own measured 1->4 worker efficiency: 0.55-0.63
 |---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency {lo} -> {hi} cores (N -> 4N): {eff}**
-(target >= 0.8; efficiency = throughput_{hi} / ({hi//lo} x throughput_{lo}))
+{quad_effs}
+(target >= 0.8; efficiency = throughput_4N / (4 x throughput_N);
+endpoint ratio {lo} -> {hi}: {eff} at {hi // lo}x cores)
 Per-step efficiencies: {pair_effs}.
 
 Methodology: input materialized once to parquet; each measurement is a
