@@ -51,22 +51,35 @@ def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mixture_sample(spark: SparkSession, sf_dir: str,
                    weights: dict[str, float],
-                   token_budget: int) -> DataFrame:
+                   token_budget: int,
+                   upsample: bool = False) -> DataFrame:
     """Deterministic source-mixture sample: pick docs so each source
     contributes ~``weights[source] * token_budget`` whitespace tokens
     (weights are normalized over the sources present). Per source the
-    keep probability is min(1, target_tokens / available_tokens) and
-    a doc is kept iff ``sample_unit(doc_id) < p`` — a pure function
-    of doc_id, so the sample is stable across runs, engines, and
-    cluster sizes, and adding new docs never flips the decision for
-    an existing doc (the property reservoir sampling lacks).
+    take rate is p = target_tokens / available_tokens and a doc's
+    multiplicity is ``n_copies = floor(p) + (sample_unit(doc_id) <
+    frac(p))`` — a pure function of doc_id, so the sample is stable
+    across runs, engines, and cluster sizes, and adding new docs never
+    flips the decision for an existing doc (the property reservoir
+    sampling lacks). E[n_copies * n_tokens] sums to exactly the
+    source's target.
+
+    ``upsample=False`` (default) caps p at 1 — a source whose target
+    exceeds its supply contributes everything it has, once, and the
+    formula degenerates to the single-epoch keep rule (floor 0, keep
+    iff u < p). ``upsample=True`` leaves p uncapped: a scarce
+    high-weight source (the Wikipedia-at-3-epochs pattern every
+    published pretraining mixture uses) is repeated floor(p) times
+    plus one more with probability frac(p). Feed the result through
+    ``expand_copies`` to materialize one row per epoch copy.
 
     Plan: one per-source aggregate (rows = |sources|) collected to
     the driver, folded into a literal CASE — the corpus-scale pass is
-    a single narrow filter over the scan, zero shuffles. Sources not
-    named in ``weights`` get weight 0 (dropped).
+    a single narrow projection over the scan, zero shuffles. Sources
+    not named in ``weights`` get weight 0 (dropped).
 
-    Returns (doc_id, source, n_tokens, keep).
+    Returns (doc_id, source, n_tokens, n_copies, keep) with
+    keep == (n_copies > 0).
     """
     totals = {r["source"]: r["n_tokens"]
               for r in source_token_totals(spark, sf_dir).collect()}
@@ -77,7 +90,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str,
     probs = {}
     for s, avail in totals.items():
         target = weights.get(s, 0.0) / wsum * token_budget
-        probs[s] = min(1.0, target / avail) if avail else 0.0
+        probs[s] = (target / avail) if avail else 0.0
+        if not upsample:
+            probs[s] = min(1.0, probs[s])
 
     p_col = None
     for s in sorted(probs):
@@ -86,11 +101,29 @@ def mixture_sample(spark: SparkSession, sf_dir: str,
                  else p_col.when(cond, F.lit(probs[s])))
     p_col = p_col.otherwise(F.lit(0.0))
 
+    n_copies = (F.floor(p_col).cast("long")
+                + (sample_unit() < (p_col - F.floor(p_col))).cast("long"))
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        (sample_unit() < p_col).alias("keep"))
+        n_copies.alias("n_copies"),
+        (n_copies > 0).alias("keep"))
+
+
+def expand_copies(sampled: DataFrame) -> DataFrame:
+    """One row per kept epoch copy of a ``mixture_sample`` result:
+    (doc_id, source, n_tokens, copy_idx in [0, n_copies)). A narrow
+    generator over the already-filtered rows (no shuffle, no join);
+    downstream packing/shard export consumes the copies like distinct
+    docs — give them distinct ids via e.g.
+    ``doc_id * max_epochs + copy_idx`` at the call site if the
+    consumer requires key uniqueness."""
+    return (sampled.where(F.col("n_copies") > 0)
+            .select("doc_id", "source", "n_tokens",
+                    F.explode(F.sequence(
+                        F.lit(0), (F.col("n_copies") - 1).cast("int")))
+                    .alias("copy_idx")))
 
 
 def leakage_safe_split(spark: SparkSession, sf_dir: str,

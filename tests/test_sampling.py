@@ -8,8 +8,8 @@ import pytest
 
 from miaplpy_spark.functions.dedup import minhash_lsh_pairs
 from miaplpy_spark.functions.sampling import (
-    _MIX_MOD, _MIX_MULT, leakage_safe_split, mixture_sample, sample_unit,
-    source_token_totals)
+    _MIX_MOD, _MIX_MULT, expand_copies, leakage_safe_split, mixture_sample,
+    sample_unit, source_token_totals)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -64,6 +64,68 @@ def test_mixture_sample_saturates_and_drops_unweighted(spark):
     # budget >> corpus: every src0 doc kept, every other source dropped
     for r in base:
         assert r["keep"] == (r["source"] == "src0"), r
+
+
+def test_mixture_upsample_matches_integer_oracle(spark):
+    """Uncapped take rates: n_copies = floor(p) + (u < frac(p)) for
+    every doc, reproduced by the documented pure-integer formula; the
+    expected token take per source equals its uncapped target."""
+    docs = _pandas_docs()
+    sources = sorted(docs["source"].unique())
+    # all weight on one source, budget 2.5x the corpus: that source's
+    # target is ~2.5x its own supply -> p in (2, 3), real upsampling
+    budget = int(docs["n_tokens"].sum() * 2.5)
+    weights = {sources[0]: 1.0}
+    out = mixture_sample(spark, SF_DIR, weights, budget,
+                         upsample=True).collect()
+    avail = docs.groupby("source")["n_tokens"].sum().to_dict()
+    p = budget / avail[sources[0]]
+    assert p > 1.0, p
+    import math
+    fl, fr = math.floor(p), p - math.floor(p)
+    for r in out:
+        u = (r["doc_id"] * _MIX_MULT % _MIX_MOD) / _MIX_MOD
+        want = (fl + (1 if u < fr else 0)) if r["source"] == sources[0] else 0
+        assert r["n_copies"] == want, r
+        assert r["keep"] == (want > 0), r
+
+
+def test_mixture_upsample_agrees_with_default_when_unsaturated(spark):
+    """p < 1 everywhere -> upsample=True and the default produce the
+    identical frame (the multiplicity rule strictly generalizes the
+    single-epoch keep rule)."""
+    docs = _pandas_docs()
+    sources = sorted(docs["source"].unique())
+    weights = {s: 1.0 for s in sources}
+    budget = int(docs["n_tokens"].sum() // 4)
+    a = sorted(mixture_sample(spark, SF_DIR, weights, budget).collect())
+    b = sorted(mixture_sample(spark, SF_DIR, weights, budget,
+                              upsample=True).collect())
+    assert a == b
+    assert all(r["n_copies"] in (0, 1) for r in a)
+
+
+def test_expand_copies_materializes_multiplicity(spark):
+    docs = _pandas_docs()
+    sources = sorted(docs["source"].unique())
+    budget = int(docs["n_tokens"].sum() * 2.5)
+    sampled = mixture_sample(spark, SF_DIR, {sources[0]: 1.0}, budget,
+                             upsample=True)
+    rows = sampled.collect()
+    expanded = expand_copies(sampled).collect()
+    assert len(expanded) == sum(r["n_copies"] for r in rows)
+    per_doc = {}
+    for e in expanded:
+        per_doc.setdefault(e["doc_id"], []).append(e["copy_idx"])
+    for r in rows:
+        if r["n_copies"]:
+            assert sorted(per_doc[r["doc_id"]]) == list(range(r["n_copies"]))
+        else:
+            assert r["doc_id"] not in per_doc
+    # narrow generator: no shuffle in the expansion plan
+    plan = expand_copies(sampled)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
 
 
 def test_unit_hash_is_uniform_enough(spark):
