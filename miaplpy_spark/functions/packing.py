@@ -40,7 +40,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .sampling import _MIX_MOD, _MIX_MULT
+from .sampling import mix_mod
 from .text import _docs
 
 N_BUCKETS = 64
@@ -49,11 +49,10 @@ N_BUCKETS = 64
 def pack_bucket(id_col: str = "doc_id",
                 n_buckets: int = N_BUCKETS) -> F.Column:
     """Deterministic shuffle bucket: the splitmix-style integer mix of
-    doc_id reduced mod n_buckets. Pure int64 arithmetic so any engine
-    reproduces the packing order from doc_id alone."""
-    mix = F.pmod(F.col(id_col).cast("long") * F.lit(_MIX_MULT),
-                 F.lit(_MIX_MOD))
-    return F.pmod(mix, F.lit(n_buckets))
+    doc_id reduced mod n_buckets. Pure overflow-free int64 arithmetic
+    (sampling.mix_mod) so any engine reproduces the packing order from
+    doc_id alone at any id magnitude."""
+    return F.pmod(mix_mod(F.col(id_col)), F.lit(n_buckets))
 
 
 def pack_spans(d: DataFrame, seq_len: int = 2048,

@@ -33,10 +33,21 @@ _MIX_MULT = 0x9E3779B1  # 2654435761, Knuth multiplicative constant
 _MIX_MOD = 1 << 20
 
 
+def mix_mod(col: F.Column) -> F.Column:
+    """``(col * 2654435761) mod 2^20`` without int64 overflow: the id
+    is reduced mod 2^20 BEFORE the multiply. Bit-identical for every
+    int64 input (multiplication mod 2^20 depends only on the operand
+    mod 2^20), but the intermediate product stays below 2^52 — the
+    naive ``id * MULT`` form overflows long for ids >= ~3.5e9, which
+    under Spark's default ANSI mode is an ARITHMETIC_OVERFLOW task
+    failure at the engine's own 10^12-doc design scale."""
+    return F.pmod(F.pmod(col.cast("long"), F.lit(_MIX_MOD))
+                  * F.lit(_MIX_MULT), F.lit(_MIX_MOD))
+
+
 def sample_unit(id_col="doc_id") -> F.Column:
     """u(doc) in [0, 1): ((doc_id * 2654435761) mod 2^20) / 2^20."""
-    return (F.pmod(F.col(id_col).cast("long") * F.lit(_MIX_MULT),
-                   F.lit(_MIX_MOD)) / F.lit(float(_MIX_MOD)))
+    return mix_mod(F.col(id_col)) / F.lit(float(_MIX_MOD))
 
 
 def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

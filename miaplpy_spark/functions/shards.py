@@ -43,17 +43,18 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .sampling import _MIX_MOD, _MIX_MULT
+from .sampling import mix_mod
 
 SHARD_SEED = 17
 
 
 def _mix(id_col: str, seed: int) -> F.Column:
     """Deterministic whitener: ((chunk_id + seed) * 2654435761)
-    mod 2^20 — pure int64 arithmetic, reproducible by any engine.
+    mod 2^20 — pure overflow-free int64 arithmetic (sampling.mix_mod;
+    the id is reduced mod 2^20 before the multiply, bit-identical and
+    ANSI-safe at any id magnitude), reproducible by any engine.
     Collisions are fine: every ordering use tiebreaks on chunk_id."""
-    return F.pmod((F.col(id_col).cast("long") + F.lit(int(seed)))
-                  * F.lit(_MIX_MULT), F.lit(_MIX_MOD))
+    return mix_mod(F.col(id_col).cast("long") + F.lit(int(seed)))
 
 
 def shard_assign(chunks: DataFrame, id_col: str = "chunk_id",

@@ -128,6 +128,24 @@ def test_expand_copies_materializes_multiplicity(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_unit_hash_safe_at_design_scale_ids(spark):
+    """ids beyond ~3.5e9 made the naive id * 2654435761 overflow
+    int64 — an ARITHMETIC_OVERFLOW task failure under Spark's default
+    ANSI mode at the engine's 10^12-doc design scale. The reduce-
+    before-multiply form must return the documented formula's exact
+    value (Python big-int oracle) for huge ids."""
+    from miaplpy_spark.functions.packing import pack_bucket
+
+    ids = [0, 123, 10 ** 12 + 7, 2 ** 40, 2 ** 62, 2 ** 63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = df.select("doc_id", sample_unit().alias("u"),
+                     pack_bucket("doc_id", 64).alias("b")).collect()
+    for r in rows:
+        mix = r["doc_id"] * _MIX_MULT % _MIX_MOD
+        assert r["u"] == mix / _MIX_MOD, r
+        assert r["b"] == mix % 64, r
+
+
 def test_unit_hash_is_uniform_enough(spark):
     rows = (spark.range(0, 100_000)
             .select(sample_unit("id").alias("u"))

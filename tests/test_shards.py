@@ -98,3 +98,22 @@ def test_verifier_catches_corruption(spark, chunks, tmp_path):
     rep = {r.shard: r for r in verify_shards(spark, out).collect()}
     assert not rep[0].ok and not rep[0].checksum_match
     assert all(rep[s].ok for s in rep if s != 0)
+
+
+def test_shard_assign_safe_at_design_scale_ids(spark):
+    """chunk ids beyond ~3.5e9 overflowed the naive whitener multiply
+    under ANSI mode; the reduce-before-multiply form must match the
+    documented ((id + seed) * MULT) mod 2^20 formula (Python big-int
+    oracle) for huge ids."""
+    from miaplpy_spark.functions.sampling import _MIX_MOD, _MIX_MULT
+    from miaplpy_spark.functions.shards import SHARD_SEED, shard_assign
+
+    ids = [0, 7, 10 ** 12 + 3, 2 ** 45, 2 ** 62]
+    df = spark.createDataFrame(
+        [(i, 4, [1, 2, 3, 4]) for i in ids],
+        "chunk_id long, n_tok int, tokens array<int>")
+    rows = shard_assign(df, n_shards=16).collect()
+    for r in rows:
+        want = (r["chunk_id"] + SHARD_SEED) * _MIX_MULT % _MIX_MOD
+        assert r["ord"] == want, r
+        assert r["shard"] == want % 16, r
