@@ -66,7 +66,15 @@ def minhash_signatures(df: DataFrame, n_perm: int = 32, k: int = 3) -> DataFrame
     false base-base pairs at avg est 0.79); with the modular wrap the
     per-permutation argmins decorrelate and the pair graph matches a
     true independent-permutation (per-p md5) family within a few
-    percent at a quarter of its hashing cost."""
+    percent at a quarter of its hashing cost.
+
+    The reduction is plain ``%``, not pmod: both operands are provably
+    non-negative (h1, h2 are hex-parsed md5 prefixes >= 0 and
+    h1 + 32·h2 < 2^62 cannot wrap), where the two operators coincide —
+    pmod costs a second modulo per permutation per shingle row, ~25%
+    of this aggregation's measured CPU (sig-only count 0.75 -> 0.55 s
+    at sf0.1), for nothing. DuckDB's ``%`` on the oracle side is
+    identical on non-negative operands."""
     sh = shingles(df, k)
     hs = sh.select(
         "doc_id",
@@ -74,8 +82,8 @@ def minhash_signatures(df: DataFrame, n_perm: int = 32, k: int = 3) -> DataFrame
         F.conv(F.substring(F.md5(F.concat(F.col("sh"), F.lit("#"))), 1, 13),
                16, 10).cast("long").alias("h2"))
     mins = hs.groupBy("doc_id").agg(
-        *[F.min(F.pmod(F.col("h1") + F.lit(p + 1) * F.col("h2"),
-                       F.lit(MINHASH_PRIME))).alias(f"m{p}")
+        *[F.min((F.col("h1") + F.lit(p + 1) * F.col("h2"))
+                % F.lit(MINHASH_PRIME)).alias(f"m{p}")
           for p in range(n_perm)])
     return mins.select(
         "doc_id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
@@ -126,12 +134,17 @@ def minhash_lsh_pairs(spark, sf_dir, n_perm: int = 32, bands: int = 8,
     Jaccard)."""
     d = _docs(spark, sf_dir)
     # The plan references sig four times (both band-join sides + the
-    # two candidate verify joins); no explicit materialization is
-    # needed because all four sit above the SAME aggregation exchange
-    # and Spark's ReusedExchange computes that shuffle once per query
-    # (verified: an eager localCheckpoint of sig measured ~25% SLOWER
-    # at 400k docs — the write barrier costs more than it saves).
-    sig = minhash_signatures(d, n_perm, k)
+    # two candidate verify joins). Materialize it ONCE: under AQE
+    # (Spark 4.1.2) the four copies of the aggregation do NOT collapse
+    # into one reused shuffle stage — the runtime stage cache misses
+    # them (the static planner's ReusedExchange does fire with AQE
+    # off: 3 reuses, q26 2.08 -> 1.61 s), so without this checkpoint
+    # the full scan + shingle explode + 2 md5/row + 32-min aggregation
+    # executes four times per query. One eager localCheckpoint makes
+    # every consumer read the G-row signature table instead
+    # (measured: q26 2.08 -> 1.59 s at sf0.1; the win grows linearly
+    # with corpus size since the duplicated work is corpus-sized).
+    sig = minhash_signatures(d, n_perm, k).localCheckpoint(eager=True)
     rpb = n_perm // bands
     # The band self-join never carries the signature arrays: banded
     # rows are (doc_id, band, 60-bit bucket hash) — three fixed-width
