@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import DOC_KEY2_SALT, EngineConfig
 from .dedup import (connected_components, dedup_keep_list,
                     incremental_minhash_pairs, minhash_lsh_pairs)
-from .text import _docs, exact_fingerprint, word_gate_stats
+from .text import _docs, exact_fingerprint, word_gate_exprs
 
 
 def _key_cols(cfg: EngineConfig) -> list[str]:
@@ -49,12 +49,20 @@ def _with_keys(df: DataFrame, cfg: EngineConfig,
 
 def exact_dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs whose full-text md5 matches an earlier (smaller doc_id)
-    doc — the exact-dedup drop set: deterministic keep-first-by-id,
-    one groupBy on the fingerprint."""
+    doc — the exact-dedup drop set: deterministic keep-first-by-id.
+
+    One fingerprint-keyed exchange: min(doc_id) OVER (PARTITION BY fp)
+    — the oracle's own formulation — instead of the old groupBy +
+    join-back, which paid the aggregation exchange AND a second join
+    of the full fingerprint table against it (measured 0.43 ->
+    0.20 s at sf0.1; one corpus-sized shuffle instead of two at any
+    scale)."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     fp = d.select("doc_id", exact_fingerprint().alias("fp"))
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    return (fp.join(keep, "fp")
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (fp.withColumn("keeper", keeper)
             .where(F.col("doc_id") != F.col("keeper"))
             .select("doc_id", F.col("keeper").alias("dup_of")))
 
@@ -94,20 +102,22 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
     labeled row (singletons keep=true), so the assembly is a plain
     per-doc column rather than a loser-set semi-join."""
     # the spine KEEPS doc_id (the output needs it); the key columns
-    # ride alongside and are what the assembly joins shuffle on
-    spine = _docs(spark, sf_dir).select("doc_id", "lang")
+    # ride alongside and are what the assembly joins shuffle on.
+    # The quality + repetition gate scalars are computed INLINE on the
+    # spine (word_gate_exprs — pure array expressions over the in-row
+    # word list): they used to be a separate explode + 4-exchange leg
+    # joined back by doc_key, but every gate is a per-doc function of
+    # the text the spine row already holds, so the whole gate family
+    # is now one narrow projection of the same scan — no gates leg, no
+    # assembly join for it, zero extra exchanges at any corpus size.
+    spine = _docs(spark, sf_dir).select(
+        "doc_id", "lang", *word_gate_exprs(F.split("text", " ")))
     spine = spine.withColumn("doc_key", F.xxhash64("doc_id"))
     if getattr(cfg, "wide_doc_key", False):
         spine = spine.withColumn(
             "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id")))
     keys = _key_cols(cfg)
 
-    # one fused leg for BOTH the quality scalars and the repetition
-    # signals: at 100 TB separate text_quality/repetition_signals legs
-    # would scan + explode the text column twice; word_gate_stats
-    # derives both gate families from one (doc, word) aggregation and
-    # is bit-identical to the standalone certified operators
-    gates = _with_keys(word_gate_stats(spark, sf_dir), cfg)
     exact = _with_keys(
         exact_dup_losers(spark, sf_dir)
         .withColumn("is_exact", F.lit(True))
@@ -128,20 +138,21 @@ def curate_corpus(spark: SparkSession, sf_dir: str,
         .select("doc_id", F.col("keep").alias("near_keep")), cfg)
 
     return _assemble_decision(
-        spine, gates, exact, near, keys, min_words, max_stopword_ratio,
+        spine, exact, near, keys, min_words, max_stopword_ratio,
         min_ttr, max_dup_word_frac, max_top_word_frac,
         max_top_ngram_frac)
 
 
-def _assemble_decision(spine, gates, exact, near, keys, min_words,
+def _assemble_decision(spine, exact, near, keys, min_words,
                        max_stopword_ratio, min_ttr, max_dup_word_frac,
                        max_top_word_frac, max_top_ngram_frac) -> DataFrame:
     """The shared assembly + priority CASE of curate_corpus and
     curate_batch — ONE definition so the full-corpus and incremental
-    decisions can never diverge on reason semantics. ``exact`` carries
-    is_exact, ``near`` carries near_keep, both keyed by ``keys``."""
+    decisions can never diverge on reason semantics. ``spine`` already
+    carries the inline gate scalars (word_gate_exprs); ``exact``
+    carries is_exact, ``near`` carries near_keep, both keyed by
+    ``keys``."""
     out = (spine
-           .join(gates, keys, "left")
            .join(exact, keys, "left")
            .join(near, keys, "left"))
     reason = (
@@ -205,19 +216,24 @@ def curate_batch(spark: SparkSession, batch_dir: str, index_dir: str,
     model. After the decision, pass ``.where("keep")`` to
     ``extend_minhash_index`` so the next batch dedups against this
     one."""
+    from pyspark.sql import Window
+
     d = _docs(spark, batch_dir)
-    spine = d.select("doc_id", "lang")
+    # gate scalars inline on the spine (word_gate_exprs) — same
+    # no-leg, no-join shape as curate_corpus
+    spine = d.select("doc_id", "lang",
+                     *word_gate_exprs(F.split("text", " ")))
     spine = spine.withColumn("doc_key", F.xxhash64("doc_id"))
     if getattr(cfg, "wide_doc_key", False):
         spine = spine.withColumn(
             "doc_key2", F.xxhash64(F.lit(DOC_KEY2_SALT), F.col("doc_id")))
     keys = _key_cols(cfg)
 
-    gates = _with_keys(word_gate_stats(spark, batch_dir), cfg)
-
     # exact leg: batch fingerprints vs the stored sidecar + in-batch
     # keep-first. The store side streams (broadcast probe, no store
     # shuffle); `matched` is at most one row per distinct batch fp.
+    # In-batch keep-first is a window min over the fp exchange (the
+    # exact_dup_losers shape) instead of a groupBy + join-back.
     fp = d.select("doc_id", exact_fingerprint().alias("fp"))
     store_fp = spark.read.parquet(f"{index_dir}/fingerprints")
     matched = (store_fp
@@ -225,9 +241,9 @@ def curate_batch(spark: SparkSession, batch_dir: str, index_dir: str,
                      "fp", "left_semi")
                .select("fp").distinct()
                .withColumn("in_store", F.lit(True)))
-    first_in_batch = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    losers = (fp.join(F.broadcast(matched), "fp", "left")
-              .join(first_in_batch, "fp")
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    losers = (fp.withColumn("keeper", keeper)
+              .join(F.broadcast(matched), "fp", "left")
               .where(F.col("in_store").isNotNull()
                      | (F.col("doc_id") != F.col("keeper")))
               .select("doc_id", F.lit(True).alias("is_exact")))
@@ -258,6 +274,6 @@ def curate_batch(spark: SparkSession, batch_dir: str, index_dir: str,
     near = _with_keys(near_rows, cfg)
 
     return _assemble_decision(
-        spine, gates, exact, near, keys, min_words, max_stopword_ratio,
+        spine, exact, near, keys, min_words, max_stopword_ratio,
         min_ttr, max_dup_word_frac, max_top_word_frac,
         max_top_ngram_frac)

@@ -633,12 +633,19 @@ def dedup_keep_list(pairs: DataFrame, id1: str = "doc1",
     'star' when the pair graph's diameter is unbounded (near-dup
     chains over a large corpus routinely exceed any fixed sweep
     budget; measured: the sf0.1 MinHash graph blows the 25-sweep
-    min-label bound while star converges in a handful of rounds)."""
+    min-label bound while star converges in a handful of rounds).
+
+    The component label returned by every connected_components
+    algorithm IS the component's minimum node (driver union-find
+    labels with comp_min; the star fixpoint's centers are below every
+    member; min-label converges to the component minimum), so the
+    canonical doc falls out as ``node == comp`` directly — no extra
+    per-component min aggregation + join-back (one exchange fewer on
+    the labeling path)."""
     comps = connected_components(pairs, id1, id2, algorithm=algorithm)
-    w_min = comps.groupBy("comp").agg(F.min("node").alias("canonical"))
-    labeled = (comps.join(w_min, "comp")
-               .select(F.col("node").alias("doc_id"), "comp",
-                       (F.col("node") == F.col("canonical")).alias("keep")))
+    labeled = comps.select(
+        F.col("node").alias("doc_id"), "comp",
+        (F.col("node") == F.col("comp")).alias("keep"))
     if doc_spine is None:
         return labeled
     singles = (doc_spine.select(F.col(spine_col).alias("doc_id"))
