@@ -439,13 +439,17 @@ def shingle_jaccard_pairs_df(d: DataFrame, k: int = 2,
     # document frequency via a window over the SAME (sh, lang) shuffle
     # the candidate self-join needs — the inverted index is built and
     # shuffled once and every consumer (sizes, both self-join sides)
-    # hangs off the identical subtree, so Spark's exchange reuse plans
-    # ONE explode+shuffle of the shingle table instead of one per
-    # branch (a separate freq-aggregate + semi-join shape replanned
-    # the explode four times)
+    # hangs off the identical subtree. Materialize it ONCE: under AQE
+    # (Spark 4.1.2) the three consumers do NOT collapse into one
+    # reused shuffle stage (the same stage-cache miss as the MinHash
+    # signature aggregation, dedup.py), so without this checkpoint the
+    # explode + distinct + window re-executed per branch (measured
+    # q22 1.55 -> 1.13 s at sf0.1). The checkpoint's footprint is the
+    # same order as the shuffle files the exchange writes anyway.
     sh = (shingles(d, k).join(d.select("doc_id", "lang"), "doc_id")
           .withColumn("df", F.count("*").over(
-              Window.partitionBy("sh", "lang"))))
+              Window.partitionBy("sh", "lang")))
+          .localCheckpoint(eager=True))
     # true per-doc shingle-set sizes BEFORE the cap: the Jaccard
     # denominator stays exact even when hot shingles are dropped
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
