@@ -370,6 +370,32 @@ def _shp_present(phi_dense: np.ndarray, present: np.ndarray,
     return keep
 
 
+# Per-slot scalar stats cross the worker channel PACKED into one
+# array column (zstat lanes, in this order): the JVM->Python Arrow
+# conversion pays a near-fixed cost PER SCALAR COLUMN PER ROW
+# (~0.5 s per column over the 9.1M-row bench table) while a list
+# column's width is nearly free (8-col ingress 5.4 s vs 3-col-with-
+# list 3.3 s, measured with a count-only kernel) — so five scalar
+# columns ride one list. Values are exact in the lane type (int64 at
+# 1h; float64 at 1d, where every packed int is far below 2^53 and
+# float32 round-trips exactly), so kernels unpack bit-identical
+# arrays and outputs are unchanged.
+_ZSTAT_1H = ("bucket", "n_tok", "sum_tok", "min_tok", "max_tok")
+_ZSTAT_1D = ("bucket", "n_obs", "n_filled", "sum_tok", "min_tok",
+             "max_tok", "mean_ntok", "quality")
+
+
+def _pack_zstat(names) -> F.Column:
+    lane_t = "long" if names is _ZSTAT_1H else "double"
+    return F.array(*[F.col(c).cast(lane_t) for c in names]).alias("zstat")
+
+
+def _unpack_zstat(num: dict, names) -> None:
+    zs = num.pop("zstat")
+    for i, name in enumerate(names):
+        num[name] = zs[:, i]
+
+
 def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
                           tok_col: str = "zphi", with_strings: bool = True):
     T, S, V = cfg.slots_per_hour, cfg.n_samples, cfg.vocab_size
@@ -379,9 +405,9 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
     wide = getattr(cfg, "wide_doc_key", False)
     out_schema = _pa_schema(_widen_key(
         ROLLUP_1H_SCHEMA if with_strings else ROLLUP_1H_CORE_SCHEMA, wide))
-    num_cols = ["doc_key", "slot", "bucket", "n_tok", "sum_tok",
-                "min_tok", "max_tok"] + (["doc_key2"] if wide else [])
-    list_cols = {tok_col: (S, np.int16 if tok_col == "ztok" else np.float32)}
+    num_cols = ["doc_key", "slot"] + (["doc_key2"] if wide else [])
+    list_cols = {tok_col: (S, np.int16 if tok_col == "ztok" else np.float32),
+                 "zstat": (len(_ZSTAT_1H), np.int64)}
 
     def process(num: dict, lookup) -> pa.RecordBatch:
         n = num["doc_key"].shape[0]
@@ -463,6 +489,7 @@ def make_rollup_1h_kernel(cfg: EngineConfig, counts_acc=None,
             if batch.num_rows == 0:
                 continue
             num, strs = _extract(batch, num_cols, list_cols, with_strings)
+            _unpack_zstat(num, _ZSTAT_1H)
             num, lookup = _concat(carry, num, strs)
             carry = None
             doc_key = num["doc_key"]
@@ -550,6 +577,13 @@ def rollup_1h(obs: DataFrame, cfg: EngineConfig = EngineConfig(),
     part = obs if assume_partitioned else (
         obs.repartition(p, "bucket")
            .sortWithinPartitions(*key_cols, "slot"))
+    # pack the scalar stats AFTER the bucket exchange (the shuffle
+    # still keys on the plain bucket column); the packing projection
+    # is narrow, so partitioning and sort order are preserved and the
+    # worker channel sees 4 columns instead of 8
+    part = part.select(
+        *((["doc_id", "source"] if with_strings else []) + key_cols
+          + ["slot", tok_col]), _pack_zstat(_ZSTAT_1H))
     out = part.mapInArrow(
         make_rollup_1h_kernel(cfg, counts_acc, tok_col, with_strings),
         _widen_key(ROLLUP_1H_SCHEMA if with_strings
@@ -567,11 +601,10 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
     wide = getattr(cfg, "wide_doc_key", False)
     out_schema = _pa_schema(_widen_key(
         ROLLUP_1D_SCHEMA if with_strings else ROLLUP_1D_CORE_SCHEMA, wide))
-    num_cols = ["doc_key", "hour_idx", "bucket", "n_obs", "n_filled",
-                "sum_tok", "min_tok", "max_tok", "mean_ntok", "quality"
-                ] + (["doc_key2"] if wide else [])
+    num_cols = ["doc_key", "hour_idx"] + (["doc_key2"] if wide else [])
     list_cols = {"linked_phase": (T, np.float32),
-                 "squeezed": (2 * S, np.float32)}
+                 "squeezed": (2 * S, np.float32),
+                 "zstat": (len(_ZSTAT_1D), np.float64)}
 
     def process(num: dict, lookup) -> pa.RecordBatch:
         n = num["doc_key"].shape[0]
@@ -653,6 +686,7 @@ def make_rollup_1d_kernel(cfg: EngineConfig, counts_acc=None,
             if batch.num_rows == 0:
                 continue
             num, strs = _extract(batch, num_cols, list_cols, with_strings)
+            _unpack_zstat(num, _ZSTAT_1D)
             num, lookup = _concat(carry, num, strs)
             carry = None
             doc_key = num["doc_key"]
@@ -705,6 +739,13 @@ def rollup_1d(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     if not assume_partitioned:
         part = (part.repartition(p, "bucket")
                     .sortWithinPartitions(*key_cols, "hour_idx"))
+    # pack scalar stats after the exchange — same narrow projection
+    # trade as rollup_1h (5 columns through the worker channel
+    # instead of 12)
+    part = part.select(
+        *((["doc_id", "source"] if with_strings else []) + key_cols
+          + ["hour_idx", "linked_phase", "squeezed"]),
+        _pack_zstat(_ZSTAT_1D))
     out = part.mapInArrow(
         make_rollup_1d_kernel(cfg, counts_acc, with_strings),
         _widen_key(ROLLUP_1D_SCHEMA if with_strings
