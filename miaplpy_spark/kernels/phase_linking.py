@@ -26,8 +26,37 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # raw LAPACK gufuncs: same routines np.linalg dispatches to,
+    # but failed matrices come back NaN-filled (info > 0) instead of
+    # one exception for the whole batch — the per-matrix status that
+    # keeps the fallback paths batched (public NumPy, stable since 1.x)
+    from numpy.linalg import _umath_linalg as _ul
+except ImportError:  # pragma: no cover - fallback to scalar loops
+    _ul = None
+
 C64 = np.complex64
 F32 = np.float32
+
+
+def _cholesky_ok_batch(M: np.ndarray) -> np.ndarray:
+    """(B, N, N) -> (B,) bool: per-matrix Cholesky success, via the
+    SAME LAPACK potrf np.linalg.cholesky runs (identical pass/fail
+    per matrix); failures are detected as NaN fill instead of a
+    batch-wide exception. Inputs are finite by construction (gap-fill
+    interpolates), so NaN in the factor <=> LAPACK info > 0."""
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        L = _ul.cholesky_lo(M)
+    return ~np.isnan(L).any(axis=(1, 2))
+
+
+def inv_batch_status(A: np.ndarray):
+    """Batched inverse with PER-MATRIX failure status: (inv, ok).
+    Exactly-singular members (where np.linalg.inv would raise) come
+    back NaN-filled with ok=False; everything else is bit-identical
+    to np.linalg.inv (same LAPACK getrf/getri per matrix)."""
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        I = _ul.inv(A)
+    return I, ~np.isnan(I).any(axis=(1, 2))
 
 # --------------------------------------------------------------------------
 # correlation estimation
@@ -125,6 +154,23 @@ def emi_phase_batch(coh: np.ndarray, abscoh: np.ndarray) -> np.ndarray:
     return _rotate_to_ref(vecs[..., :, 0])
 
 
+def emi_phase_batch_status(coh: np.ndarray, abscoh: np.ndarray):
+    """Batched EMI with PER-MATRIX inversion status: (vec (B, N),
+    ok (B,)). Members whose |Γ| is exactly singular (where
+    emi_phase_batch would raise for the WHOLE batch) come back with
+    ok=False and undefined vec — route exactly those through the
+    scalar EMI→EVD fallback chain; everything else is bit-identical
+    to emi_phase_batch (same inv, same eigh per matrix)."""
+    inv_abs, ok = inv_batch_status(abscoh.astype(np.float64))
+    B, N = coh.shape[0], coh.shape[1]
+    vec = np.empty((B, N), dtype=C64)
+    if ok.any():
+        M = (inv_abs[ok] * coh[ok]).astype(C64)
+        _, vecs = np.linalg.eigh(M)
+        vec[ok] = _rotate_to_ref(vecs[..., :, 0])
+    return vec, ok
+
+
 def _pta_objective_grad(theta: np.ndarray, M: np.ndarray):
     """PTA objective |log(v^H M v)| with v = exp(iθ) rotated to ref 0,
     and its analytic gradient (optphase_cy, lib/utils.pyx:246-261).
@@ -198,21 +244,40 @@ def regularize_matrix(M: np.ndarray, max_tries: int = 100):
 def regularize_matrix_batch(M: np.ndarray, max_tries: int = 100):
     """Batched regularization over (B, N, N).
 
-    Fast path: one batched Cholesky probe; only failing members fall to
-    the scalar loop (the reference's P3 common-case-vectorization trick,
-    dev/ifgram_inversion_L1L2.py:1268-1330, applied to regularization).
-    Returns (status (B,), out (B, N, N)).
+    Fully batched loading loop: one per-matrix Cholesky-status probe
+    (_cholesky_ok_batch — the same LAPACK potrf, so the pass/fail
+    criterion and the 1e-6, 2e-6, 4e-6... cumulative loading sequence
+    are identical to the scalar regularize_matrix), then each round
+    loads only the still-failing subset and re-probes it batched.
+    Real batches routinely need 1-3 loads for MOST members, so the
+    old one-collective-probe-then-scalar-loop shape degenerated to
+    per-matrix Python calls for nearly every group (~40% of the 1h
+    kernel's CPU at bench scale); this loop costs a handful of
+    batched potrf sweeps total. Returns (status (B,), out (B, N, N)).
     """
     B = M.shape[0]
     out = np.array(M, dtype=F32, copy=True)
     status = np.zeros(B, dtype=np.int32)
-    try:
-        np.linalg.cholesky(out)
+    if _ul is None:  # pragma: no cover - no raw gufuncs: scalar path
+        for b in range(B):
+            status[b], out[b] = regularize_matrix(out[b], max_tries)
         return status, out
-    except np.linalg.LinAlgError:
-        pass
-    for b in range(B):
-        status[b], out[b] = regularize_matrix(out[b], max_tries)
+    ok = _cholesky_ok_batch(out)
+    if ok.all():
+        return status, out
+    pend = np.flatnonzero(~ok)
+    N = M.shape[1]
+    diag = np.arange(N)
+    en = np.full(pend.shape[0], 1e-6, dtype=np.float64)
+    for _ in range(max_tries):
+        out[pend[:, None], diag[None, :], diag[None, :]] += \
+            en[:, None].astype(F32)
+        en *= 2
+        ok_p = _cholesky_ok_batch(out[pend])
+        pend, en = pend[~ok_p], en[~ok_p]
+        if pend.size == 0:
+            return status, out
+    status[pend] = 1
     return status, out
 
 

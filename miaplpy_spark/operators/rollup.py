@@ -226,18 +226,33 @@ def _link_batch(Z: np.ndarray, method: str, lag: int = 0,
     vecL = np.empty((cohL.shape[0], T), dtype=np.complex64)
     if method in ("EMI", "sequential_EMI", "PTA", "sequential_PTA", "SBW"):
         status, abscoh = pl.regularize_matrix_batch(np.abs(cohL).astype(np.float32))
-        est_batch = (pl.pta_phase_batch if method in ("PTA", "sequential_PTA")
-                     else pl.emi_phase_batch)
         ok = status == 0
         if ok.any():
-            try:
-                vecL[ok] = est_batch(cohL[ok], abscoh[ok])
-            except np.linalg.LinAlgError:
-                # a matrix can pass the float32 Cholesky probe yet be
-                # singular to float64 inv (e.g. duplicate rows from
-                # edge-extended gap-fill); downgrade those to EVD —
-                # the reference's fallback chain (lib/utils.pyx:538-551)
-                for b in np.flatnonzero(ok):
+            if method in ("PTA", "sequential_PTA"):
+                try:
+                    vecL[ok] = pl.pta_phase_batch(cohL[ok], abscoh[ok])
+                except np.linalg.LinAlgError:
+                    for b in np.flatnonzero(ok):
+                        try:
+                            vecL[b] = pl.emi_phase(cohL[b], abscoh[b])
+                        except np.linalg.LinAlgError:
+                            vecL[b] = pl.evd_phase(cohL[b])
+            else:
+                # per-matrix inversion status keeps the fallback
+                # BATCHED: a matrix can pass the float32 Cholesky
+                # probe yet be singular to float64 inv (e.g.
+                # duplicate rows from edge-extended gap-fill), and
+                # the old whole-batch except clause downgraded every
+                # group of the batch to scalar EMI/EVD calls — ~40%
+                # of kernel CPU at bench scale, since real batches
+                # almost always contain one such matrix. Now only the
+                # genuinely singular few take the scalar chain (the
+                # reference's fallback, lib/utils.pyx:538-551).
+                vec_ok, good = pl.emi_phase_batch_status(
+                    cohL[ok], abscoh[ok])
+                okidx = np.flatnonzero(ok)
+                vecL[okidx[good]] = vec_ok[good]
+                for b in okidx[~good]:
                     try:
                         vecL[b] = pl.emi_phase(cohL[b], abscoh[b])
                     except np.linalg.LinAlgError:
