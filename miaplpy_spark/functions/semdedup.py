@@ -46,7 +46,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .similarity import _d2_array, _emb, fit_ivf_codebook, with_cosine
+from .similarity import (_d2_array, _emb, cos_prenormed, fit_ivf_codebook,
+                         vnorm, with_cosine)
 
 
 def kmeans_fit(spark: SparkSession, sf_dir: str, n_cells: int = 10,
@@ -113,13 +114,19 @@ def semantic_dup_pairs(spark: SparkSession, sf_dir: str,
     cents = cents or kmeans_fit(spark, sf_dir, n_cells=n_cells,
                                 n_iters=n_iters)
     e = kmeans_assign(_emb(spark, sf_dir), cents)
+    # norms hoisted per vector (similarity.vnorm): the within-cell
+    # self-join pays only the dot fold per pair, bit-identically
     a = e.select(F.col("vec_id").alias("id1"),
-                 F.col("embedding").alias("v1"), "cell")
+                 F.col("embedding").alias("v1"),
+                 vnorm("embedding").alias("n1"), "cell")
     b = e.select(F.col("vec_id").alias("id2"),
-                 F.col("embedding").alias("v2"), "cell")
+                 F.col("embedding").alias("v2"),
+                 vnorm("embedding").alias("n2"), "cell")
     pairs = a.join(b, "cell").where(F.col("id1") < F.col("id2"))
-    pairs = with_cosine(pairs, "v1", "v2")
-    return (pairs.select("id1", "id2", F.round("cos", 4).alias("sim"), "cell")
+    return (pairs.select(
+                "id1", "id2",
+                F.round(cos_prenormed("v1", "v2", "n1", "n2"), 4)
+                 .alias("sim"), "cell")
             .where(F.col("sim") >= threshold))
 
 

@@ -37,18 +37,43 @@ def with_cosine(df: DataFrame, col_a: str, col_b: str, out: str = "cos") -> Data
     return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
 
 
+def vnorm(col) -> F.Column:
+    """The L2-norm expression with_cosine evaluates — exposed so call
+    sites can hoist it to ONE evaluation per VECTOR (on the pre-join
+    per-row side) instead of one per candidate PAIR: the fold over the
+    same array yields the same double, so cos = dot / (na * nb) with
+    hoisted norms is bit-identical to with_cosine while cutting the
+    pair-stage higher-order-function work to the dot product alone
+    (candidate pairs outnumber vectors by orders at any scale)."""
+    return _norm(F.transform(col if not isinstance(col, str) else F.col(col),
+                             lambda x: x.cast("double")))
+
+
+def cos_prenormed(va: str, vb: str, na: str, nb: str) -> F.Column:
+    """cos of two vectors whose norms were hoisted with ``vnorm`` —
+    same dot fold, same (na * nb) product, same division as
+    with_cosine (bit-identical)."""
+    a = F.transform(F.col(va), lambda x: x.cast("double"))
+    b = F.transform(F.col(vb), lambda x: x.cast("double"))
+    return _dot(a, b) / (F.col(na) * F.col(nb))
+
+
 def brute_force_topk(spark, sf_dir, n_queries: int = 20, k: int = 5) -> DataFrame:
     """Exact cosine top-k for the first ``n_queries`` vectors.
     Deterministic across engines: rank on the ROUNDED similarity with
     vec_id tiebreak."""
     e = _emb(spark, sf_dir)
+    # norms hoisted to one evaluation per vector (vnorm) — the cross
+    # join then pays only the dot fold per pair, bit-identically
     q = (e.where(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
-    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 vnorm("embedding").alias("qn")))
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+                 vnorm("embedding").alias("nn"))
     pairs = (F.broadcast(q).crossJoin(c)
              .where(F.col("qid") != F.col("nid")))
-    pairs = with_cosine(pairs, "qv", "nv").withColumn(
-        "sim", F.round("cos", 4))
+    pairs = pairs.withColumn(
+        "sim", F.round(cos_prenormed("qv", "nv", "qn", "nn"), 4))
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (pairs.withColumn("rk", F.row_number().over(w))
@@ -62,12 +87,16 @@ def cosine_near_dup_pairs(spark, sf_dir, threshold: float = 0.95) -> DataFrame:
     label block with LSH buckets)."""
     e = _emb(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"),
+                 vnorm("embedding").alias("n1"),
                  F.col("label").alias("lab"))
     b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"),
+                 vnorm("embedding").alias("n2"),
                  F.col("label").alias("lab"))
     pairs = (a.join(b, "lab").where(F.col("id1") < F.col("id2")))
-    pairs = with_cosine(pairs, "v1", "v2")
-    return (pairs.select("id1", "id2", F.round("cos", 4).alias("sim"))
+    return (pairs.select(
+                "id1", "id2",
+                F.round(cos_prenormed("v1", "v2", "n1", "n2"), 4)
+                 .alias("sim"))
             .where(F.col("sim") >= threshold))
 
 
@@ -114,10 +143,13 @@ def lsh_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
     the candidates only."""
     e = _emb(spark, sf_dir)
     bk = lsh_buckets(e, n_planes)
-    ebk = e.join(bk.select("vec_id", "bucket"), "vec_id")
+    # norms hoisted per vector (vnorm) and carried beside the arrays
+    ebk = (e.select("vec_id", "embedding", vnorm("embedding").alias("vn"))
+           .join(bk.select("vec_id", "bucket"), "vec_id"))
     # probe buckets: own bucket + all Hamming-1 flips (multi-probe LSH)
     probes = ebk.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("vn").alias("qn"),
         F.explode(F.concat(
             F.array(F.col("bucket")),
             F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
@@ -129,12 +161,15 @@ def lsh_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
     # are needlessly wide at scale, and the vectors are functionally
     # determined by the ids anyway
     cand = (probes.join(ebk.select(F.col("vec_id").alias("nid"),
-                                   F.col("embedding").alias("nv"), "bucket"),
+                                   F.col("embedding").alias("nv"),
+                                   F.col("vn").alias("nn"), "bucket"),
                         "bucket")
             .where(F.col("qid") != F.col("nid"))
             .groupBy("qid", "nid")
-            .agg(F.first("qv").alias("qv"), F.first("nv").alias("nv")))
-    cand = with_cosine(cand, "qv", "nv").withColumn("sim", F.round("cos", 4))
+            .agg(F.first("qv").alias("qv"), F.first("nv").alias("nv"),
+                 F.first("qn").alias("qn"), F.first("nn").alias("nn")))
+    cand = cand.withColumn(
+        "sim", F.round(cos_prenormed("qv", "nv", "qn", "nn"), 4))
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (cand.withColumn("rk", F.row_number().over(w))
@@ -152,9 +187,11 @@ def lsh_near_dup_pairs(spark, sf_dir, threshold: float = 0.35,
     free knob, label cardinality is not)."""
     e = _emb(spark, sf_dir)
     bk = lsh_buckets(e, n_planes)
-    ebk = e.join(bk.select("vec_id", "bucket"), "vec_id")
+    ebk = (e.select("vec_id", "embedding", vnorm("embedding").alias("vn"))
+           .join(bk.select("vec_id", "bucket"), "vec_id"))
     a = ebk.select(
         F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"),
+        F.col("vn").alias("n1"),
         F.explode(F.concat(
             F.array(F.col("bucket")),
             F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
@@ -162,14 +199,18 @@ def lsh_near_dup_pairs(spark, sf_dir, threshold: float = 0.35,
                             F.pow(F.lit(2.0), j).cast("long")))
         )).alias("bucket"))
     b = ebk.select(F.col("vec_id").alias("id2"),
-                   F.col("embedding").alias("v2"), "bucket")
+                   F.col("embedding").alias("v2"),
+                   F.col("vn").alias("n2"), "bucket")
     # dedup on the id pair only (see lsh_ann_topk) — the old distinct
     # shuffled both embedding arrays as part of the key
     cand = (a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
              .groupBy("id1", "id2")
-             .agg(F.first("v1").alias("v1"), F.first("v2").alias("v2")))
-    cand = with_cosine(cand, "v1", "v2")
-    return (cand.select("id1", "id2", F.round("cos", 4).alias("sim"))
+             .agg(F.first("v1").alias("v1"), F.first("v2").alias("v2"),
+                  F.first("n1").alias("n1"), F.first("n2").alias("n2")))
+    return (cand.select(
+                "id1", "id2",
+                F.round(cos_prenormed("v1", "v2", "n1", "n2"), 4)
+                 .alias("sim"))
             .where(F.col("sim") >= threshold))
 
 
@@ -321,12 +362,13 @@ def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
     cents = fit_ivf_codebook(fit_dir or codebook_fit_dir(sf_dir), n_cells)
     e = _emb(spark, sf_dir)
     dists = e.select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", vnorm("embedding").alias("vn"),
         _d2_array(F.col("embedding"), cents).alias("d2s"))
     # nearest cell with lowest-cell tiebreak: array_position returns
     # the FIRST index of the minimum
     corpus = dists.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+        F.col("vn").alias("nn"),
         (F.array_position(F.col("d2s"), F.array_min("d2s")) - 1)
         .cast("long").alias("cell"))
 
@@ -338,16 +380,18 @@ def ivf_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
     probes = (dists.where(F.col("vec_id") < n_queries)
               .select(F.col("vec_id").alias("qid"),
                       F.col("embedding").alias("qv"),
+                      F.col("vn").alias("qn"),
                       F.explode(F.slice(F.array_sort(F.arrays_zip(
                           F.col("d2s").alias("d2"),
                           F.sequence(F.lit(0), F.lit(n_cells - 1))
                            .alias("cell"))), 1, n_probe)).alias("pc"))
-              .select("qid", "qv",
+              .select("qid", "qv", "qn",
                       F.col("pc.cell").cast("long").alias("cell")))
 
     cand = (F.broadcast(probes).join(corpus, "cell")
             .where(F.col("qid") != F.col("nid")))
-    cand = with_cosine(cand, "qv", "nv").withColumn("sim", F.round("cos", 4))
+    cand = cand.withColumn(
+        "sim", F.round(cos_prenormed("qv", "nv", "qn", "nn"), 4))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
@@ -423,11 +467,13 @@ def ivf_query_index(spark, index_dir: str, queries: DataFrame,
     cells = sorted({int(r["cell"]) for r in
                     probes.select("cell").distinct().collect()})
     idx = (spark.read.parquet(f"{index_dir}/vectors")
-           .where(F.col("cell").isin(cells)))   # partition-pruned scan
-    cand = (F.broadcast(probes).join(idx, "cell")
+           .where(F.col("cell").isin(cells))    # partition-pruned scan
+           .withColumn("nn", vnorm("embedding")))
+    cand = (F.broadcast(probes.withColumn("qn", vnorm("qv"))).join(
+                idx, "cell")
             .where(F.col("qid") != F.col("vec_id")))
-    cand = with_cosine(cand, "qv", "embedding").withColumn(
-        "sim", F.round("cos", 4))
+    cand = cand.withColumn(
+        "sim", F.round(cos_prenormed("qv", "embedding", "qn", "nn"), 4))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
