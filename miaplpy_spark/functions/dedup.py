@@ -326,18 +326,23 @@ def extend_minhash_index(spark, new_docs_dir: str, index_dir: str,
                          "doc_id", "left_semi")
                    .localCheckpoint(eager=True))
         docs = docs.join(F.broadcast(present), "doc_id", "left_anti")
-    new_sig = minhash_signatures(docs, p["n_perm"], p["k"])
+    # materialize the batch signatures ONCE (eager checkpoint): the
+    # signature write, the banding write, and the returned count all
+    # read the checkpoint, so appends never re-scan the stored
+    # signatures table (the old select-what-was-appended semi-join
+    # was a full store scan per batch — O(store), not O(batch), at
+    # 10^12 stored docs) and the signature aggregation runs once.
+    # Parquet round-trips the int64 sig arrays losslessly, so banding
+    # from the checkpoint matches banding from a re-read exactly.
+    new_sig = (minhash_signatures(docs, p["n_perm"], p["k"])
+               .localCheckpoint(eager=True))
     new_sig.write.mode("append").parquet(f"{index_dir}/signatures")
-    # re-read what was appended so banding matches the stored rows
-    # (and the banding job does not recompute the signature agg)
-    appended = (spark.read.parquet(f"{index_dir}/signatures")
-                .join(docs.select("doc_id"), "doc_id", "left_semi"))
-    (_banded(appended, p["bands"], p["n_perm"] // p["bands"])
+    (_banded(new_sig, p["bands"], p["n_perm"] // p["bands"])
      .write.mode("append").partitionBy("band")
      .parquet(f"{index_dir}/bands"))
     (docs.select("doc_id", exact_fingerprint().alias("fp"))
      .write.mode("append").parquet(f"{index_dir}/fingerprints"))
-    return appended.count()
+    return new_sig.count()
 
 
 def simhash(df: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:

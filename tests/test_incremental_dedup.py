@@ -103,3 +103,43 @@ def test_params_travel_with_index(spark, dirs):
 
     p = _minhash_index_params(spark, dirs["index"])
     assert p == {"n_perm": 32, "bands": 8, "k": 3}
+
+
+def test_extend_appends_without_store_scan(spark, dirs, monkeypatch):
+    """Round-6 O(batch) append contract: the default extend path
+    (no if_absent) must never READ the stored signatures table —
+    banding comes from the batch's own checkpointed signatures, so a
+    10^12-doc store costs an append nothing. (if_absent=True is the
+    documented exception: it scans the slim doc_id column once.)"""
+    import tempfile as _tf
+
+    import pyspark.sql.readwriter as rw
+
+    root = _tf.mkdtemp(prefix="extend_scan_")
+    idx = f"{root}/index"
+    build_minhash_index(spark, dirs["a"], idx)
+    read_paths = []
+    orig = rw.DataFrameReader.parquet
+
+    def recording(self, *paths):
+        read_paths.extend(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", recording)
+    n = extend_minhash_index(spark, dirs["b"], idx)
+    monkeypatch.undo()
+    # count contract: one row per batch doc long enough to shingle
+    from miaplpy_spark.functions.dedup import minhash_signatures
+    batch0 = spark.read.parquet(f"{dirs['b']}/documents.parquet")
+    assert n == minhash_signatures(batch0, 32, 3).count()
+    assert not any("/signatures" in p for p in read_paths), read_paths
+    # the appended band rows must equal banding the batch directly
+    from miaplpy_spark.functions.dedup import (_banded,
+                                               minhash_signatures)
+    batch = spark.read.parquet(f"{dirs['b']}/documents.parquet")
+    want = _rows(_banded(minhash_signatures(batch, 32, 3), 8, 4)
+                 .select("doc_id", "band", "bucket"))
+    got = _rows(spark.read.parquet(f"{idx}/bands")
+                .where(F.col("doc_id") >= A_END)
+                .select("doc_id", "band", "bucket"))
+    assert got == want
