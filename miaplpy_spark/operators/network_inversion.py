@@ -193,7 +193,19 @@ def invert_network(df_1h: DataFrame, cfg: EngineConfig = EngineConfig(),
     # docs, and under salt_by_day a doc's hourly rows span buckets.
     # The in-partition sort moves the ordering work into the shuffle
     # sorter so the kernel can stream with a bounded carry.
-    p = num_partitions or cfg.n_buckets
+    #
+    # Partition COUNT defaults to the cluster's parallelism, not the
+    # tier-layout constant n_buckets: this stage is a streaming map
+    # with O(arrow-batch) worker memory (batch-carry), so larger
+    # partitions cost nothing, while every extra partition pays a
+    # fixed Python-runner round-trip — at bench scale 128 partitions
+    # of 7.5k rows spent more on per-task setup than on the solve
+    # (L2 ingress 1.97 -> 0.85 s at 32 = defaultParallelism). Fewer,
+    # larger shuffle blocks is also the scale-out direction (guide
+    # §2.2); doc_key hashing spreads docs uniformly, and callers with
+    # skewed docs pass num_partitions (or salt_by_day upstream).
+    sc = df_1h.sparkSession.sparkContext
+    p = num_partitions or sc.defaultParallelism
     return (slim.repartition(p, "doc_key")
                 .sortWithinPartitions(*key_cols, "hour_idx")
                 .mapInArrow(kernel, INVERSION_SCHEMA))
