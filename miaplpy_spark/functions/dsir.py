@@ -30,6 +30,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .sampling import sample_unit
+
+# own decision salt: the Gumbel noise must be independent of the
+# split assignment (unsalted stream) and the epoch-copy coin
+# (ADVICE r05)
+_GUMBEL_SEED = 0x6B311
 from .text import _docs
 
 N_BUCKETS = 8192
@@ -107,7 +112,7 @@ def gumbel_col(id_col: str = "doc_id") -> F.Column:
     """Deterministic standard-Gumbel noise: -log(-log(u)) with u the
     splitmix unit hash of the doc id, nudged off 0 so the outer log is
     finite."""
-    u = sample_unit(id_col) * (1 - 2e-9) + 1e-9
+    u = sample_unit(id_col, seed=_GUMBEL_SEED) * (1 - 2e-9) + 1e-9
     return -F.log(-F.log(u))
 
 

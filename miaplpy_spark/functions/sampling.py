@@ -33,6 +33,17 @@ _MIX_MULT = 0x9E3779B1  # 2654435761, Knuth multiplicative constant
 _MIX_MOD = 1 << 20
 
 
+# per-decision salts (ADVICE r05): every downstream decision family
+# salts the unit stream with its own constant so decisions are
+# pairwise independent — the UNSALTED stream (seed 0) is the
+# leakage-safe split's; reusing it for the epoch-copy coin made
+# "survives the val split" and "gets the extra epoch copy" perfectly
+# correlated (after a split with val_frac >= frac(p), no surviving
+# train doc ever got the extra copy and the realized token take
+# silently undershot the target by frac(p) * supply)
+_EPOCH_SEED = 0xE90C
+
+
 def mix_mod(col: F.Column) -> F.Column:
     """``(col * 2654435761) mod 2^20`` without int64 overflow: the id
     is reduced mod 2^20 BEFORE the multiply. Bit-identical for every
@@ -45,9 +56,21 @@ def mix_mod(col: F.Column) -> F.Column:
                   * F.lit(_MIX_MULT), F.lit(_MIX_MOD))
 
 
-def sample_unit(id_col="doc_id") -> F.Column:
-    """u(doc) in [0, 1): ((doc_id * 2654435761) mod 2^20) / 2^20."""
-    return mix_mod(F.col(id_col)) / F.lit(float(_MIX_MOD))
+def mix_mod_salted(col: F.Column, seed: int) -> F.Column:
+    """``mix_mod(col + seed)`` where the ADDITION itself cannot
+    overflow either: both operands are reduced mod 2^20 first
+    (congruence mod 2^20 is preserved, so the result equals the
+    naive form wherever that form doesn't overflow) — ANSI-safe at
+    ANY id magnitude (ADVICE r05 on shards._mix)."""
+    return mix_mod(F.pmod(col.cast("long"), F.lit(_MIX_MOD))
+                   + F.lit(int(seed) % _MIX_MOD))
+
+
+def sample_unit(id_col="doc_id", seed: int = 0) -> F.Column:
+    """u(doc) in [0, 1): (((doc_id + seed) * 2654435761) mod 2^20)
+    / 2^20. ``seed`` selects an independent decision stream; 0 is the
+    split's stream."""
+    return mix_mod_salted(F.col(id_col), seed) / F.lit(float(_MIX_MOD))
 
 
 def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +91,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str,
     contributes ~``weights[source] * token_budget`` whitespace tokens
     (weights are normalized over the sources present). Per source the
     take rate is p = target_tokens / available_tokens and a doc's
-    multiplicity is ``n_copies = floor(p) + (sample_unit(doc_id) <
-    frac(p))`` — a pure function of doc_id, so the sample is stable
+    multiplicity is ``n_copies = floor(p) + (sample_unit(doc_id,
+    seed=_EPOCH_SEED) < frac(p))`` — a pure function of doc_id, so
+    the sample is stable
     across runs, engines, and cluster sizes, and adding new docs never
     flips the decision for an existing doc (the property reservoir
     sampling lacks). E[n_copies * n_tokens] sums to exactly the
@@ -112,8 +136,13 @@ def mixture_sample(spark: SparkSession, sf_dir: str,
                  else p_col.when(cond, F.lit(probs[s])))
     p_col = p_col.otherwise(F.lit(0.0))
 
+    # the fractional-copy coin runs on its OWN salted stream
+    # (_EPOCH_SEED): the unsalted stream is the leakage-safe split's,
+    # and sharing it correlated 'survives the split' with 'gets the
+    # extra epoch copy' (ADVICE r05, medium)
     n_copies = (F.floor(p_col).cast("long")
-                + (sample_unit() < (p_col - F.floor(p_col))).cast("long"))
+                + (sample_unit(seed=_EPOCH_SEED)
+                   < (p_col - F.floor(p_col))).cast("long"))
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", "source",
@@ -124,17 +153,22 @@ def mixture_sample(spark: SparkSession, sf_dir: str,
 
 def expand_copies(sampled: DataFrame) -> DataFrame:
     """One row per kept epoch copy of a ``mixture_sample`` result:
-    (doc_id, source, n_tokens, copy_idx in [0, n_copies)). A narrow
-    generator over the already-filtered rows (no shuffle, no join);
-    downstream packing/shard export consumes the copies like distinct
-    docs — give them distinct ids via e.g.
-    ``doc_id * max_epochs + copy_idx`` at the call site if the
-    consumer requires key uniqueness."""
+    (doc_id, source, n_tokens, copy_idx in [0, n_copies), copy_key).
+    A narrow generator over the already-filtered rows (no shuffle, no
+    join). ``copy_key`` is the COLLISION-SAFE composite identity of
+    the copy — a (doc_id, copy_idx) struct, unique by construction
+    with no arithmetic to overflow (ADVICE r05: the old docstring
+    delegated uniqueness to a ``doc_id * max_epochs + copy_idx``
+    recipe that was unenforced and can itself ANSI-overflow for large
+    doc_id). Consumers that need a LONG id may still derive one, but
+    own the range proof."""
     return (sampled.where(F.col("n_copies") > 0)
             .select("doc_id", "source", "n_tokens",
                     F.explode(F.sequence(
                         F.lit(0), (F.col("n_copies") - 1).cast("int")))
-                    .alias("copy_idx")))
+                    .alias("copy_idx"))
+            .withColumn("copy_key",
+                        F.struct(F.col("doc_id"), F.col("copy_idx"))))
 
 
 def leakage_safe_split(spark: SparkSession, sf_dir: str,

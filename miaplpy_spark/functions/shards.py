@@ -43,18 +43,22 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .sampling import mix_mod
+from .sampling import mix_mod_salted
 
 SHARD_SEED = 17
 
 
 def _mix(id_col: str, seed: int) -> F.Column:
     """Deterministic whitener: ((chunk_id + seed) * 2654435761)
-    mod 2^20 — pure overflow-free int64 arithmetic (sampling.mix_mod;
-    the id is reduced mod 2^20 before the multiply, bit-identical and
-    ANSI-safe at any id magnitude), reproducible by any engine.
+    mod 2^20 — pure overflow-free int64 arithmetic, reproducible by
+    any engine. Both operands are reduced mod 2^20 BEFORE the
+    addition (sampling.mix_mod_salted), so not even the + can
+    ANSI-overflow — the claim 'safe at any id magnitude' now holds
+    literally (ADVICE r05: the old form added chunk_id + seed first,
+    which overflows for chunk_id > 2^63-1-seed); congruence mod 2^20
+    makes the result identical wherever the old form was defined.
     Collisions are fine: every ordering use tiebreaks on chunk_id."""
-    return mix_mod(F.col(id_col).cast("long") + F.lit(int(seed)))
+    return mix_mod_salted(F.col(id_col), seed)
 
 
 def shard_assign(chunks: DataFrame, id_col: str = "chunk_id",

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 
 from miaplpy_spark.functions.dsir import (
     N_BUCKETS, dsir_features, dsir_importance_weights, dsir_sample_topk)
+from miaplpy_spark.functions.dsir import _GUMBEL_SEED
 from miaplpy_spark.functions.sampling import _MIX_MOD, _MIX_MULT
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -16,7 +17,8 @@ TARGET = "src0"
 
 
 def _gumbel(doc_id: int) -> float:
-    u = (doc_id * _MIX_MULT % _MIX_MOD) / _MIX_MOD
+    u = ((doc_id % _MIX_MOD + _GUMBEL_SEED % _MIX_MOD)
+         * _MIX_MULT % _MIX_MOD) / _MIX_MOD
     u = u * (1 - 2e-9) + 1e-9
     return -math.log(-math.log(u))
 

@@ -8,8 +8,8 @@ import pytest
 
 from miaplpy_spark.functions.dedup import minhash_lsh_pairs
 from miaplpy_spark.functions.sampling import (
-    _MIX_MOD, _MIX_MULT, expand_copies, leakage_safe_split, mixture_sample,
-    sample_unit, source_token_totals)
+    _EPOCH_SEED, _MIX_MOD, _MIX_MULT, expand_copies, leakage_safe_split,
+    mixture_sample, sample_unit, source_token_totals)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -46,7 +46,10 @@ def test_mixture_sample_matches_pandas_oracle(spark):
              for s in sources}
     kept_total = 0
     for r in out:
-        u = (r["doc_id"] * _MIX_MULT % _MIX_MOD) / _MIX_MOD
+        # single-epoch keep == the fractional-copy coin at floor(p)=0,
+        # which runs on the salted epoch stream (ADVICE r05)
+        u = ((r["doc_id"] % _MIX_MOD + _EPOCH_SEED % _MIX_MOD)
+             * _MIX_MULT % _MIX_MOD) / _MIX_MOD
         assert r["keep"] == (u < probs[r["source"]]), r
         if r["keep"]:
             kept_total += r["n_tokens"]
@@ -84,7 +87,10 @@ def test_mixture_upsample_matches_integer_oracle(spark):
     import math
     fl, fr = math.floor(p), p - math.floor(p)
     for r in out:
-        u = (r["doc_id"] * _MIX_MULT % _MIX_MOD) / _MIX_MOD
+        # the epoch-copy coin runs on its own salted stream (ADVICE
+        # r05: decorrelated from the split's unsalted stream)
+        u = ((r["doc_id"] % _MIX_MOD + _EPOCH_SEED % _MIX_MOD)
+             * _MIX_MULT % _MIX_MOD) / _MIX_MOD
         want = (fl + (1 if u < fr else 0)) if r["source"] == sources[0] else 0
         assert r["n_copies"] == want, r
         assert r["keep"] == (want > 0), r
