@@ -436,14 +436,17 @@ def _canonical_edges(pairs: DataFrame, id1: str, id2: str) -> DataFrame:
             .distinct())
 
 
-def _driver_components(e: DataFrame) -> DataFrame:
+def _driver_components(e: DataFrame, rows=None) -> DataFrame:
     """Exact union-find on a DRIVER-COLLECTED edge list — the small-
     graph fast path the ``auto`` mode picks below its edge threshold
     (the same adaptivity as a broadcast-join threshold: when the
     deduplicated pair graph fits comfortably on the driver, one
     union-find beats 6-10 distributed rounds of fixed job latency).
-    Input must be the canonical distinct edge set."""
-    rows = e.collect()
+    Input must be the canonical distinct edge set; ``rows`` passes an
+    already-collected edge list so auto mode's size probe and the
+    collect are ONE job."""
+    if rows is None:
+        rows = e.collect()
     parent: dict = {}
 
     def find(x):
@@ -573,8 +576,13 @@ def connected_components(pairs: DataFrame, id1: str = "doc1",
     above it, the star rounds (diameter-safe at any scale)."""
     if algorithm == "auto":
         e = _canonical_edges(pairs, id1, id2).localCheckpoint(eager=True)
-        if e.count() <= driver_max_edges:
-            return _driver_components(e)
+        # size probe and edge fetch fused into ONE job: limit(max+1)
+        # returns every edge when the graph is under the threshold
+        # (the common LSH-verified case), so the driver path pays a
+        # single action instead of count-then-collect
+        rows = e.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            return _driver_components(e, rows)
         return _star_components(e.select(F.col("c").alias(id1),
                                          F.col("p").alias(id2)),
                                 id1, id2, max_iter)
